@@ -1,0 +1,146 @@
+"""Bridge-Lite adapter: the trainable cross-attention stack, pure JAX.
+
+Weight-compatible re-design of the reference Bridge-Lite
+(reference: src/vlm_bridge/model_architecture/bridge_module.py:240-471):
+
+per block (all pre-LN with residuals):
+  1. cross-attention — text queries [*, language_dim], vision keys/values
+     [*, vision_dim], internal d_model = language_dim, 8 heads; the w_k/w_v
+     projections perform the 1024 -> 2304 dimension alignment (there is no
+     separate vision-projection layer)
+  2. non-causal self-attention over text, 18 heads
+  3. FFN: language_dim -> 4x -> language_dim with exact GELU
+
+Init matches the reference: Xavier-uniform weights, zero biases, LN ones/zeros
+(bridge_module.py:394-404).
+
+Dropout is supported for training (`rng` + `train=True`); evaluation is
+deterministic. Dropout sites match torch: attention probs (inside SDPA),
+FFN post-GELU, and FFN output (bridge_module.py:291-297).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vlm_bridge_tpu.configs import BridgeConfig
+from vlm_bridge_tpu.ops.attention import dot_product_attention
+from vlm_bridge_tpu.ops.layers import gelu_exact, layer_norm, linear
+
+
+def _xavier(key, fan_in, fan_out, dtype):
+    bound = (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, (fan_in, fan_out), jnp.float32, -bound, bound).astype(dtype)
+
+
+def init(rng: jax.Array, cfg: BridgeConfig, dtype=jnp.float32) -> dict:
+    """Trainable params default to f32 (optimizer master copy); the forward
+    pass casts to the activation dtype (bf16 autocast-style)."""
+    ld, vd = cfg.language_dim, cfg.vision_dim
+    ffn = ld * cfg.ffn_mult
+    blocks = {}
+    for b in range(cfg.num_blocks):
+        key = jax.random.fold_in(rng, b)
+        ks = jax.random.split(key, 12)
+        blocks[str(b)] = {
+            "cross": {
+                "q": _xavier(ks[0], ld, ld, dtype), "q_bias": jnp.zeros((ld,), dtype),
+                "k": _xavier(ks[1], vd, ld, dtype), "k_bias": jnp.zeros((ld,), dtype),
+                "v": _xavier(ks[2], vd, ld, dtype), "v_bias": jnp.zeros((ld,), dtype),
+                "o": _xavier(ks[3], ld, ld, dtype), "o_bias": jnp.zeros((ld,), dtype),
+            },
+            "ln_cross": {"scale": jnp.ones((ld,), dtype), "bias": jnp.zeros((ld,), dtype)},
+            "self": {
+                "q": _xavier(ks[4], ld, ld, dtype), "q_bias": jnp.zeros((ld,), dtype),
+                "k": _xavier(ks[5], ld, ld, dtype), "k_bias": jnp.zeros((ld,), dtype),
+                "v": _xavier(ks[6], ld, ld, dtype), "v_bias": jnp.zeros((ld,), dtype),
+                "o": _xavier(ks[7], ld, ld, dtype), "o_bias": jnp.zeros((ld,), dtype),
+            },
+            "ln_self": {"scale": jnp.ones((ld,), dtype), "bias": jnp.zeros((ld,), dtype)},
+            "ffn": {
+                "fc1": _xavier(ks[8], ld, ffn, dtype), "fc1_bias": jnp.zeros((ffn,), dtype),
+                "fc2": _xavier(ks[9], ffn, ld, dtype), "fc2_bias": jnp.zeros((ld,), dtype),
+            },
+            "ln_ffn": {"scale": jnp.ones((ld,), dtype), "bias": jnp.zeros((ld,), dtype)},
+        }
+    return {"blocks": blocks}
+
+
+def num_params(params: dict) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None):
+    """Shared projection + attention core for cross/self attention.
+
+    key_mask: optional [B, S] (1 = attendable key)."""
+    B, T, _ = q_in.shape
+    S = kv_in.shape[1]
+    d_model = proj["q"].shape[1]
+    D = d_model // num_heads
+    q = linear(q_in, proj["q"].astype(dtype), proj["q_bias"].astype(dtype))
+    k = linear(kv_in, proj["k"].astype(dtype), proj["k_bias"].astype(dtype))
+    v = linear(kv_in, proj["v"].astype(dtype), proj["v_bias"].astype(dtype))
+    q = q.reshape(B, T, num_heads, D)
+    k = k.reshape(B, S, num_heads, D)
+    v = v.reshape(B, S, num_heads, D)
+    mask = key_mask[:, None, :].astype(bool) if key_mask is not None else None
+    out = dot_product_attention(q, k, v, scale=D ** -0.5, mask=mask)
+    out = out.reshape(B, T, d_model)
+    return linear(out, proj["o"].astype(dtype), proj["o_bias"].astype(dtype))
+
+
+def forward(
+    params: dict,
+    cfg: BridgeConfig,
+    text_embeddings: jax.Array,   # [B, T, language_dim]
+    vision_features: jax.Array,   # [B, S, vision_dim]
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    text_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Enhanced text embeddings [B, T, language_dim].
+
+    Vision attends as global context (no mask — bridge_module.py:321).
+    text_mask: optional [B, T] pad mask applied to self-attention KEYS — a fix
+    over the reference (which lets pads leak into self-attention under dynamic
+    padding); pass None to reproduce reference numerics exactly.
+    """
+    dtype = text_embeddings.dtype
+    x = text_embeddings
+    vision = vision_features.astype(dtype)
+    eps = cfg.layer_norm_eps
+
+    for b in range(cfg.num_blocks):
+        bp = params["blocks"][str(b)]
+        rngs = (
+            jax.random.split(jax.random.fold_in(rng, b), 2)
+            if (train and rng is not None) else (None, None)
+        )
+
+        h = layer_norm(x, bp["ln_cross"]["scale"], bp["ln_cross"]["bias"], eps)
+        x = x + _mha(bp["cross"], h, vision, cfg.num_heads_cross, dtype)
+
+        h = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"], eps)
+        x = x + _mha(bp["self"], h, h, cfg.num_heads_self, dtype, key_mask=text_mask)
+
+        h = layer_norm(x, bp["ln_ffn"]["scale"], bp["ln_ffn"]["bias"], eps)
+        h = linear(h, bp["ffn"]["fc1"].astype(dtype), bp["ffn"]["fc1_bias"].astype(dtype))
+        h = gelu_exact(h)
+        h = _dropout(h, cfg.dropout, rngs[0], train)
+        h = linear(h, bp["ffn"]["fc2"].astype(dtype), bp["ffn"]["fc2_bias"].astype(dtype))
+        h = _dropout(h, cfg.dropout, rngs[1], train)
+        x = x + h
+
+    return x

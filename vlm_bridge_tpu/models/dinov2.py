@@ -1,0 +1,155 @@
+"""DINOv2 ViT encoder, pure JAX.
+
+Architecture (verified against HF `transformers` Dinov2 modeling code, which
+the reference wraps via `facebook/dinov2-large` —
+reference: src/vlm_bridge/model_architecture/vision_encoder.py:50-94):
+
+- 14x14 conv patch embedding + CLS token + learned position embeddings
+  (bicubically interpolated from the native 37x37 grid to the input grid)
+- per layer: LN -> MHA -> LayerScale -> +res; LN -> MLP(GELU) -> LayerScale -> +res
+- final LayerNorm
+
+Output for 224px input: [B, 257, 1024] (CLS + 256 patches), matching the
+reference's `VisionEncoder.forward` contract (vision_encoder.py:71-94).
+
+The encoder is frozen in this framework: `forward` is wrapped in
+`stop_gradient` by callers; no optimizer state is ever created for it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vlm_bridge_tpu.configs import DinoV2Config
+from vlm_bridge_tpu.ops.attention import dot_product_attention
+from vlm_bridge_tpu.ops.layers import gelu_exact, layer_norm, linear
+
+
+def init(rng: jax.Array, cfg: DinoV2Config, dtype=jnp.bfloat16) -> dict:
+    """Random init (tests/benchmarks; real weights come from converters)."""
+    h = cfg.hidden_size
+    n_pos = cfg.native_grid ** 2 + 1
+    keys = jax.random.split(rng, cfg.num_layers + 3)
+
+    def dense(key, fan_in, fan_out):
+        return (jax.random.normal(key, (fan_in, fan_out), jnp.float32) * 0.02).astype(dtype)
+
+    layers = {}
+    for i in range(cfg.num_layers):
+        ks = jax.random.split(keys[i], 8)
+        mlp_hidden = h * cfg.mlp_ratio
+        layers[str(i)] = {
+            "norm1": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+            "norm2": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+            "attn": {
+                "q": dense(ks[0], h, h), "q_bias": jnp.zeros((h,), dtype),
+                "k": dense(ks[1], h, h), "k_bias": jnp.zeros((h,), dtype),
+                "v": dense(ks[2], h, h), "v_bias": jnp.zeros((h,), dtype),
+                "o": dense(ks[3], h, h), "o_bias": jnp.zeros((h,), dtype),
+            },
+            "mlp": {
+                "fc1": dense(ks[4], h, mlp_hidden), "fc1_bias": jnp.zeros((mlp_hidden,), dtype),
+                "fc2": dense(ks[5], mlp_hidden, h), "fc2_bias": jnp.zeros((h,), dtype),
+            },
+            "layerscale1": jnp.full((h,), cfg.layerscale_value, dtype),
+            "layerscale2": jnp.full((h,), cfg.layerscale_value, dtype),
+        }
+    return {
+        # Conv kernel stored [ph, pw, C, h] (HWIO); converters transpose torch OIHW.
+        "patch_embed": {
+            "kernel": (jax.random.normal(
+                keys[-3], (cfg.patch_size, cfg.patch_size, cfg.num_channels, h),
+                jnp.float32) * 0.02).astype(dtype),
+            "bias": jnp.zeros((h,), dtype),
+        },
+        "cls_token": (jax.random.normal(keys[-2], (1, 1, h), jnp.float32) * 0.02).astype(dtype),
+        "pos_embed": (jax.random.normal(keys[-1], (1, n_pos, h), jnp.float32) * 0.02).astype(dtype),
+        "final_norm": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+        "layers": layers,
+    }
+
+
+def interpolate_pos_embed(pos_embed: jax.Array, cfg: DinoV2Config, grid: int) -> jax.Array:
+    """Bicubic interpolation of patch position embeddings to a new grid size.
+
+    Matches HF `Dinov2Embeddings.interpolate_pos_encoding` (f32 bicubic,
+    align_corners=False == jax.image 'cubic' on a regular grid).
+    """
+    n_pos = pos_embed.shape[1] - 1
+    native = int(round(n_pos ** 0.5))
+    if native == grid:
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:].astype(jnp.float32)
+    h = patch_pos.shape[-1]
+    patch_pos = patch_pos.reshape(1, native, native, h)
+    patch_pos = jax.image.resize(
+        patch_pos, (1, grid, grid, h), method="bicubic", antialias=False
+    )
+    patch_pos = patch_pos.reshape(1, grid * grid, h).astype(pos_embed.dtype)
+    return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+def _attention(lp: dict, cfg: DinoV2Config, x: jax.Array) -> jax.Array:
+    B, T, h = x.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    q = linear(x, lp["attn"]["q"], lp["attn"]["q_bias"]).reshape(B, T, H, D)
+    k = linear(x, lp["attn"]["k"], lp["attn"]["k_bias"]).reshape(B, T, H, D)
+    v = linear(x, lp["attn"]["v"], lp["attn"]["v_bias"]).reshape(B, T, H, D)
+    out = dot_product_attention(q, k, v, scale=D ** -0.5)
+    return linear(out.reshape(B, T, h), lp["attn"]["o"], lp["attn"]["o_bias"])
+
+
+def forward(
+    params: dict,
+    cfg: DinoV2Config,
+    pixel_values: jax.Array,
+) -> jax.Array:
+    """pixel_values: [B, H, W, C] (NHWC, already normalized) -> [B, 1+N, hidden].
+
+    NHWC is the TPU-native conv layout; the data pipeline produces it directly
+    (torch-side comparisons transpose their NCHW input).
+    """
+    B, H_img, W_img, C = pixel_values.shape
+    grid = H_img // cfg.patch_size
+
+    x = jax.lax.conv_general_dilated(
+        pixel_values,
+        params["patch_embed"]["kernel"].astype(pixel_values.dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, grid, grid, h]
+    x = x + params["patch_embed"]["bias"].astype(x.dtype)
+    x = x.reshape(B, grid * grid, cfg.hidden_size)
+
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(x.dtype), (B, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    # Torch's bicubic kernel (A=-0.75) differs from jax.image's (A=-0.5), so
+    # for converted checkpoints the weight converter precomputes the
+    # interpolated table with torch and stores it under this key; random-init
+    # runs and native-grid inputs use the JAX path.
+    interp_key = f"pos_embed_interp_{grid}"
+    if interp_key in params:
+        pos = params[interp_key]
+    else:
+        pos = interpolate_pos_embed(params["pos_embed"], cfg, grid)
+    x = x + pos.astype(x.dtype)
+
+    eps = cfg.layer_norm_eps
+    for i in range(cfg.num_layers):
+        lp = params["layers"][str(i)]
+        h = layer_norm(x, lp["norm1"]["scale"], lp["norm1"]["bias"], eps)
+        h = _attention(lp, cfg, h)
+        x = x + h * lp["layerscale1"].astype(x.dtype)
+        h = layer_norm(x, lp["norm2"]["scale"], lp["norm2"]["bias"], eps)
+        h = linear(h, lp["mlp"]["fc1"], lp["mlp"]["fc1_bias"])
+        h = gelu_exact(h)
+        h = linear(h, lp["mlp"]["fc2"], lp["mlp"]["fc2_bias"])
+        x = x + h * lp["layerscale2"].astype(x.dtype)
+
+    return layer_norm(x, params["final_norm"]["scale"], params["final_norm"]["bias"], eps)

@@ -1,0 +1,327 @@
+"""Gemma-2 decoder, pure JAX.
+
+Architecture (verified against HF `transformers` Gemma2 modeling code, which
+the reference wraps via `google/gemma-2-2b` —
+reference: src/vlm_bridge/model_architecture/language_model.py:74-144):
+
+- embedding scaled by sqrt(hidden) (cast to activation dtype first)
+- per layer: RMSNorm -> GQA attention (RoPE, logit softcap 50, alternating
+  sliding-4096/global) -> RMSNorm -> +res; RMSNorm -> GeGLU MLP -> RMSNorm -> +res
+- final RMSNorm, tied lm_head, final logit softcap 30
+
+Parameters are a nested dict pytree; layers are kept as a Python-indexed dict
+(the 26-layer loop is unrolled under jit; each layer can be rematerialized
+via `remat=True`, which matters because gradients flow *through* the frozen
+decoder into the bridge).
+
+KV caches are stacked arrays `[num_layers, B, Smax, KH, D]` so the decode
+loop runs as a single `lax.scan` over tokens with in-place
+`dynamic_update_slice` cache writes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vlm_bridge_tpu.configs import Gemma2Config
+from vlm_bridge_tpu.ops.attention import decode_attention, dot_product_attention
+from vlm_bridge_tpu.ops.layers import apply_rope, gelu_tanh, linear, rms_norm, rope_table
+
+
+class KVCache(NamedTuple):
+    """Preallocated decode cache."""
+
+    k: jax.Array  # [L, B, Smax, KH, D]
+    v: jax.Array  # [L, B, Smax, KH, D]
+    length: jax.Array  # [] int32 — number of valid positions (uniform batch)
+
+    @staticmethod
+    def zeros(cfg: Gemma2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+def init(rng: jax.Array, cfg: Gemma2Config, dtype=jnp.bfloat16) -> dict:
+    """Random init (for tests/benchmarks; real weights come from converters)."""
+    keys = jax.random.split(rng, cfg.num_layers + 1)
+    h, hd = cfg.hidden_size, cfg.head_dim
+
+    def dense(key, fan_in, fan_out):
+        return (jax.random.normal(key, (fan_in, fan_out), jnp.float32) * 0.02).astype(dtype)
+
+    layers = {}
+    for i in range(cfg.num_layers):
+        ks = jax.random.split(keys[i], 8)
+        layers[str(i)] = {
+            "input_norm": jnp.zeros((h,), dtype),
+            "post_attn_norm": jnp.zeros((h,), dtype),
+            "pre_ffn_norm": jnp.zeros((h,), dtype),
+            "post_ffn_norm": jnp.zeros((h,), dtype),
+            "attn": {
+                "q": dense(ks[0], h, cfg.num_heads * hd),
+                "k": dense(ks[1], h, cfg.num_kv_heads * hd),
+                "v": dense(ks[2], h, cfg.num_kv_heads * hd),
+                "o": dense(ks[3], cfg.num_heads * hd, h),
+            },
+            "mlp": {
+                "gate": dense(ks[4], h, cfg.intermediate_size),
+                "up": dense(ks[5], h, cfg.intermediate_size),
+                "down": dense(ks[6], cfg.intermediate_size, h),
+            },
+        }
+    return {
+        "embedding": (jax.random.normal(keys[-1], (cfg.vocab_size, h), jnp.float32) * 0.02).astype(dtype),
+        "final_norm": jnp.zeros((h,), dtype),
+        "layers": layers,
+    }
+
+
+def embed(params: dict, input_ids: jax.Array) -> jax.Array:
+    """Raw (un-normalized) embedding lookup — this is what the bridge consumes
+    (reference LanguageModel.get_embeddings, language_model.py:146-164)."""
+    return jnp.take(params["embedding"], input_ids, axis=0)
+
+
+def _attention_block(
+    lp: dict,
+    cfg: Gemma2Config,
+    x: jax.Array,
+    layer_idx: int,
+    *,
+    cos: jax.Array,
+    sin: jax.Array,
+    attn_mask: Optional[jax.Array],
+    positions: jax.Array,
+) -> jax.Array:
+    B, T, H = x.shape[0], x.shape[1], cfg.num_heads
+    D, KH = cfg.head_dim, cfg.num_kv_heads
+
+    q = linear(x, lp["attn"]["q"]).reshape(B, T, H, D)
+    k = linear(x, lp["attn"]["k"]).reshape(B, T, KH, D)
+    v = linear(x, lp["attn"]["v"]).reshape(B, T, KH, D)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    window = cfg.sliding_window if cfg.layer_is_sliding(layer_idx) else None
+    out = dot_product_attention(
+        q, k, v,
+        scale=cfg.attn_scale,
+        mask=attn_mask,
+        is_causal=True,
+        logit_softcap=cfg.attn_logit_softcap,
+        sliding_window=window,
+        q_positions=positions,
+        kv_positions=positions,
+    )
+    return linear(out.reshape(B, T, H * D), lp["attn"]["o"])
+
+
+def _mlp_block(lp: dict, x: jax.Array) -> jax.Array:
+    gate = gelu_tanh(linear(x, lp["mlp"]["gate"]))
+    up = linear(x, lp["mlp"]["up"])
+    return linear(gate * up, lp["mlp"]["down"])
+
+
+def _layer(
+    lp: dict, cfg: Gemma2Config, x: jax.Array, layer_idx: int,
+    cos, sin, attn_mask, positions,
+) -> jax.Array:
+    eps = cfg.rms_norm_eps
+    h = rms_norm(x, lp["input_norm"], eps)
+    h = _attention_block(lp, cfg, h, layer_idx, cos=cos, sin=sin,
+                         attn_mask=attn_mask, positions=positions)
+    x = x + rms_norm(h, lp["post_attn_norm"], eps)
+    h = rms_norm(x, lp["pre_ffn_norm"], eps)
+    h = _mlp_block(lp, h)
+    return x + rms_norm(h, lp["post_ffn_norm"], eps)
+
+
+def forward_hidden(
+    params: dict,
+    cfg: Gemma2Config,
+    inputs_embeds: jax.Array,
+    *,
+    attn_mask: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Full-sequence forward from embeddings to final-norm hidden states.
+
+    inputs_embeds: [B, T, H] RAW embeddings (pre sqrt-hidden normalizer; the
+    normalizer is applied here, matching HF which scales inside the model).
+    attn_mask: [B, T] with 1 = real token; pads are masked from keys.
+    Returns hidden: [B, T, H].
+    """
+    B, T, _ = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.arange(T)[None, :].repeat(B, axis=0)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+
+    normalizer = jnp.asarray(cfg.hidden_size ** 0.5, inputs_embeds.dtype)
+    x = inputs_embeds * normalizer
+
+    key_mask = None
+    if attn_mask is not None:
+        key_mask = attn_mask[:, None, :].astype(bool)  # [B, 1(q), S] broadcast
+
+    layer_fn = _layer
+    if remat:
+        layer_fn = jax.checkpoint(
+            _layer, static_argnums=(1, 3), prevent_cse=False
+        )
+    for i in range(cfg.num_layers):
+        x = layer_fn(params["layers"][str(i)], cfg, x, i,
+                     cos, sin, key_mask, positions)
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+
+def logits_from_hidden(params: dict, cfg: Gemma2Config, hidden: jax.Array) -> jax.Array:
+    """Tied lm_head + final softcap, f32 output."""
+    logits = jnp.einsum(
+        "bth,vh->btv", hidden, params["embedding"],
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.final_logit_softcap is not None:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    return logits
+
+
+def forward(
+    params: dict,
+    cfg: Gemma2Config,
+    *,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Full forward to [B, T, V] logits (f32).
+
+    Replaces reference `LanguageModel.forward_from_embeddings`
+    (language_model.py:111-144)."""
+    if inputs_embeds is None:
+        inputs_embeds = embed(params, input_ids)
+    hidden = forward_hidden(params, cfg, inputs_embeds,
+                            attn_mask=attn_mask, remat=remat)
+    return logits_from_hidden(params, cfg, hidden)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache prefill + decode
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params: dict,
+    cfg: Gemma2Config,
+    inputs_embeds: jax.Array,
+    cache: KVCache,
+    *,
+    attn_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the prompt through the decoder, filling the cache.
+
+    Returns (hidden [B, T, H], updated cache with length = T). Assumes the
+    prompt occupies positions [0, T) (right padding handled via attn_mask).
+    """
+    B, T, _ = inputs_embeds.shape
+    positions = jnp.arange(T)[None, :].repeat(B, axis=0)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    normalizer = jnp.asarray(cfg.hidden_size ** 0.5, inputs_embeds.dtype)
+    x = inputs_embeds * normalizer
+
+    key_mask = attn_mask[:, None, :].astype(bool) if attn_mask is not None else None
+
+    ks, vs = [], []
+    for i in range(cfg.num_layers):
+        lp = params["layers"][str(i)]
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        H, D, KH = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
+        q = linear(h, lp["attn"]["q"]).reshape(B, T, H, D)
+        k = linear(h, lp["attn"]["k"]).reshape(B, T, KH, D)
+        v = linear(h, lp["attn"]["v"]).reshape(B, T, KH, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        ks.append(k)
+        vs.append(v)
+
+        window = cfg.sliding_window if cfg.layer_is_sliding(i) else None
+        attn = dot_product_attention(
+            q, k, v, scale=cfg.attn_scale, mask=key_mask, is_causal=True,
+            logit_softcap=cfg.attn_logit_softcap, sliding_window=window,
+            q_positions=positions, kv_positions=positions,
+        )
+        h = linear(attn.reshape(B, T, H * D), lp["attn"]["o"])
+        x = x + rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
+        h = rms_norm(x, lp["pre_ffn_norm"], cfg.rms_norm_eps)
+        h = _mlp_block(lp, h)
+        x = x + rms_norm(h, lp["post_ffn_norm"], cfg.rms_norm_eps)
+
+    hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+    k_stack = jnp.stack(ks).astype(cache.k.dtype)  # [L, B, T, KH, D]
+    v_stack = jnp.stack(vs).astype(cache.v.dtype)
+    new_k = jax.lax.dynamic_update_slice(cache.k, k_stack, (0, 0, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(cache.v, v_stack, (0, 0, 0, 0, 0))
+    return hidden, KVCache(new_k, new_v, jnp.asarray(T, jnp.int32))
+
+
+def decode_step(
+    params: dict,
+    cfg: Gemma2Config,
+    token_embeds: jax.Array,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step. token_embeds: [B, 1, H] raw embedding of the new token.
+
+    Returns (hidden [B, 1, H], updated cache). The new token sits at position
+    cache.length.
+    """
+    B = token_embeds.shape[0]
+    pos = cache.length  # scalar
+    positions = jnp.full((B, 1), pos, jnp.int32)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    normalizer = jnp.asarray(cfg.hidden_size ** 0.5, token_embeds.dtype)
+    x = token_embeds * normalizer
+
+    new_len = pos + 1
+    ck, cv = cache.k, cache.v
+    H, D, KH = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
+
+    for i in range(cfg.num_layers):
+        lp = params["layers"][str(i)]
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        q = linear(h, lp["attn"]["q"]).reshape(B, 1, H, D)
+        k = linear(h, lp["attn"]["k"]).reshape(B, 1, KH, D)
+        v = linear(h, lp["attn"]["v"]).reshape(B, 1, KH, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype)[None], (i, 0, pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype)[None], (i, 0, pos, 0, 0))
+
+        if cfg.layer_is_sliding(i):
+            window_start = jnp.maximum(new_len - cfg.sliding_window, 0)
+        else:
+            window_start = None
+        attn = decode_attention(
+            q, ck[i], cv[i], new_len,
+            scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
+            window_start=window_start,
+        )
+        h = linear(attn.reshape(B, 1, H * D), lp["attn"]["o"])
+        x = x + rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
+        h = rms_norm(x, lp["pre_ffn_norm"], cfg.rms_norm_eps)
+        h = _mlp_block(lp, h)
+        x = x + rms_norm(h, lp["post_ffn_norm"], cfg.rms_norm_eps)
+
+    hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, KVCache(ck, cv, new_len)

@@ -1,0 +1,16 @@
+"""Core numeric ops: norms, RoPE, activations, attention, sampling.
+
+Pure-jnp reference implementations live in `attention.py` / `layers.py`;
+Pallas TPU kernels for the hot paths live in `flash_attention.py` and are
+selected automatically on TPU backends via `attention.dot_product_attention`.
+"""
+
+from vlm_bridge_tpu.ops.layers import (  # noqa: F401
+    layer_norm,
+    rms_norm,
+    gelu_tanh,
+    linear,
+    rope_table,
+    apply_rope,
+)
+from vlm_bridge_tpu.ops.attention import dot_product_attention  # noqa: F401

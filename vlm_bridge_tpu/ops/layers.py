@@ -1,0 +1,97 @@
+"""Elementwise / normalization / embedding primitives.
+
+All norms accumulate in float32 and cast back to the input dtype, matching the
+numerics of the reference stack (torch LayerNorm computes in f32 under autocast;
+HF Gemma2RMSNorm upcasts explicitly) so that bf16 parity holds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ w (+ b). Weights are stored [in, out] (JAX convention; torch
+    checkpoints are transposed at conversion time)."""
+    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Standard LayerNorm, f32 accumulation."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Gemma-style RMSNorm: y = x/rms(x) * (1 + w), computed in f32.
+
+    The `(1 + w)` form matches HF Gemma2RMSNorm (weights stored zero-centered).
+    """
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    y = y * (1.0 + weight.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """gelu_pytorch_tanh — the Gemma-2 hidden activation."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf-based) GELU — torch nn.GELU default, used by DINOv2 MLP and
+    the reference bridge FFN."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (Gemma-2 style: rotate_half over concat halves)
+# ---------------------------------------------------------------------------
+
+
+def rope_table(
+    positions: jax.Array, head_dim: int, theta: float = 10000.0
+) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given integer positions.
+
+    positions: [...] int array -> returns cos,sin of shape [..., head_dim],
+    built as concat(freqs, freqs) to pair with `rotate_half` application
+    (matches HF Gemma2RotaryEmbedding, f32 throughout).
+    """
+    fraction = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    inv_freq = 1.0 / (theta ** fraction)  # [head_dim/2]
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., hd/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply rotary embedding. x: [B, T, H, D]; cos/sin: [B, T, D] or [T, D]."""
+    if cos.ndim == x.ndim - 1:
+        cos = cos[..., None, :]  # broadcast over heads
+        sin = sin[..., None, :]
+    xf = x.astype(jnp.float32)
+    out = xf * cos + _rotate_half(xf) * sin
+    return out.astype(x.dtype)
+
+
+def softcap(x: jax.Array, cap: float) -> jax.Array:
+    """Gemma-2 logit soft-capping: cap * tanh(x / cap)."""
+    return jnp.tanh(x / cap) * cap
