@@ -1,0 +1,114 @@
+"""Generation tests.
+
+The oracle for `exact` mode is an explicit python loop that re-runs the full
+model per token exactly as the reference does (full_model.py:241-373: grow
+the sequence, full forward, take last-position logits). The jitted exact mode
+must reproduce it token-for-token; fast (KV-cache) mode must agree on shapes,
+EOS handling, and the first generated token (where causal == bidirectional).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vlm_bridge_tpu.configs import VLMConfig
+from vlm_bridge_tpu.inference import GenerationConfig, generate_tokens
+from vlm_bridge_tpu.models import full_model, gemma2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = VLMConfig.tiny_test()
+    params = full_model.init(jax.random.key(0), cfg, frozen_dtype=jnp.float32)
+    B = 2
+    pixels = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (B, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32)
+    vision = full_model.encode_image(params, cfg, pixels)
+    return cfg, params, vision
+
+
+def _reference_style_greedy(params, cfg, vision, max_length):
+    """Grow-the-sequence greedy loop (no cache, bidirectional bridge) —
+    mirrors the reference generation semantics."""
+    B = vision.shape[0]
+    tokens = np.full((B, 1), cfg.lm.bos_token_id, np.int32)
+    done = np.zeros((B,), bool)
+    for _ in range(max_length):
+        ids = jnp.asarray(tokens)
+        mask = jnp.ones(tokens.shape, jnp.int32)
+        bridged = full_model.bridge_text(
+            params, cfg, ids, vision, attn_mask=mask, bridge_pad_mask=True)
+        hidden = gemma2.forward_hidden(
+            params["lm"], cfg.lm, bridged, attn_mask=mask, remat=False)
+        logits = gemma2.logits_from_hidden(
+            params["lm"], cfg.lm, hidden[:, -1:])[:, 0]
+        nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+        nxt = np.where(done, cfg.lm.pad_token_id, nxt)
+        done |= nxt == cfg.lm.eos_token_id
+        tokens = np.concatenate([tokens, nxt[:, None]], axis=1)
+    return tokens
+
+
+def test_exact_mode_matches_reference_loop(setup):
+    cfg, params, vision = setup
+    N = 6
+    ref = _reference_style_greedy(params, cfg, vision, N)
+    toks, lengths = generate_tokens(
+        params, cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=N, greedy=True, exact=True),
+        activation_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_fast_mode_contract(setup):
+    cfg, params, vision = setup
+    N = 8
+    toks, lengths = generate_tokens(
+        params, cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=N, greedy=True),
+        activation_dtype=jnp.float32)
+    toks = np.asarray(toks)
+    assert toks.shape == (2, N + 1)
+    assert (toks[:, 0] == cfg.lm.bos_token_id).all()
+    # after an EOS, only pads
+    for b in range(2):
+        eos_pos = np.where(toks[b] == cfg.lm.eos_token_id)[0]
+        if len(eos_pos):
+            assert (toks[b, eos_pos[0] + 1:] == cfg.lm.pad_token_id).all()
+            assert lengths[b] == eos_pos[0]
+
+    # first generated token agrees with exact mode (prefix len 1 ⇒ the
+    # causal-bridge approximation is exact there)
+    toks_exact, _ = generate_tokens(
+        params, cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=1, greedy=True, exact=True),
+        activation_dtype=jnp.float32)
+    np.testing.assert_array_equal(toks[:, 1], np.asarray(toks_exact)[:, 1])
+
+
+def test_sampling_reproducible_and_temperature_varies(setup):
+    cfg, params, vision = setup
+    g = GenerationConfig(max_length=6, temperature=0.9, top_p=0.9)
+    a, _ = generate_tokens(params, cfg, vision_features=vision,
+                           rng=jax.random.key(3), gen=g,
+                           activation_dtype=jnp.float32)
+    b, _ = generate_tokens(params, cfg, vision_features=vision,
+                           rng=jax.random.key(3), gen=g,
+                           activation_dtype=jnp.float32)
+    c, _ = generate_tokens(params, cfg, vision_features=vision,
+                           rng=jax.random.key(4), gen=g,
+                           activation_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_pixel_input_path(setup):
+    cfg, params, _ = setup
+    pixels = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    toks, _ = generate_tokens(
+        params, cfg, pixel_values=pixels,
+        gen=GenerationConfig(max_length=3, greedy=True),
+        activation_dtype=jnp.float32)
+    assert np.asarray(toks).shape == (1, 4)

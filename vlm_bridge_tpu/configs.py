@@ -215,7 +215,8 @@ class TrainingConfig:
     resume_from_checkpoint: Optional[str] = None
 
     # --- TPU-native fields -------------------------------------------------
-    mesh_shape: Tuple[int, ...] = (1,)          # (data,) or (data, model)
+    # (data,) or (data, model); data == -1 means "all remaining devices".
+    mesh_shape: Tuple[int, ...] = (-1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     max_text_len: int = 512                      # hard truncation, matches reference
     pad_to_buckets: Tuple[int, ...] = (64, 128, 256, 512)  # static-shape buckets

@@ -1,0 +1,85 @@
+"""`vlm-data` CLI: dataset download/transform/split/inspect.
+
+Subcommand parity with the reference (data_pipeline/cli.py:18-94):
+  explore-dataset, transform --output-dir, inspect-loader --data-dir
+plus `synth` (offline synthetic dataset for hermetic runs) and `stats`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="vlm-data", description="GroundCap data pipeline (TPU-native stack)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("explore-dataset", help="download GroundCap and print structure")
+
+    p_tr = sub.add_parser("transform", help="download, transform, split, save")
+    p_tr.add_argument("--output-dir", default="data/groundcap")
+    p_tr.add_argument("--jpeg-quality", type=int, default=95)
+    p_tr.add_argument("--num-workers", type=int, default=4)
+
+    p_in = sub.add_parser("inspect-loader", help="inspect prepared batches")
+    p_in.add_argument("--data-dir", default="data/groundcap")
+    p_in.add_argument("--split", default="train")
+    p_in.add_argument("--batch-size", type=int, default=4)
+    p_in.add_argument("--tokenizer-path", default=None)
+
+    p_sy = sub.add_parser("synth", help="generate an offline synthetic dataset")
+    p_sy.add_argument("--output-dir", default="data/groundcap-synth")
+    p_sy.add_argument("--num-samples", type=int, default=32)
+    p_sy.add_argument("--image-size", type=int, default=224)
+    p_sy.add_argument("--seed", type=int, default=0)
+
+    p_st = sub.add_parser("stats", help="print split statistics")
+    p_st.add_argument("--data-dir", default="data/groundcap")
+
+    args = parser.parse_args(argv)
+
+    from vlm_bridge_tpu.data import groundcap
+
+    if args.command == "explore-dataset":
+        ds = groundcap.load_ground_cap()
+        groundcap.inspect_dataset_structure(ds)
+
+    elif args.command == "transform":
+        from datasets import concatenate_datasets
+
+        t0 = time.time()
+        ds = groundcap.load_ground_cap()
+        merged = concatenate_datasets([ds["train"], ds["test"]])
+        print(f"transforming {len(merged)} samples -> {args.output_dir}")
+        records = groundcap.transform_and_save_images(
+            merged, args.output_dir, jpeg_quality=args.jpeg_quality,
+            num_workers=args.num_workers)
+        counts = groundcap.split_and_organize_files(records, args.output_dir)
+        print(f"done in {time.time() - t0:.1f}s: {counts}")
+
+    elif args.command == "inspect-loader":
+        from vlm_bridge_tpu.data.loader import BatchLoader, VLDataset, inspect_data_loader
+        from vlm_bridge_tpu.data.tokenizer import get_tokenizer
+
+        loader = BatchLoader(
+            VLDataset(args.data_dir, args.split), batch_size=args.batch_size,
+            tokenizer=get_tokenizer(args.tokenizer_path))
+        inspect_data_loader(loader)
+
+    elif args.command == "synth":
+        counts = groundcap.make_synthetic_dataset(
+            args.output_dir, num_samples=args.num_samples,
+            image_size=args.image_size, seed=args.seed)
+        print(f"synthetic dataset at {args.output_dir}: {counts}")
+
+    elif args.command == "stats":
+        for split, st in groundcap.get_split_stats(args.data_dir).items():
+            print(f"{split}: {st}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -153,9 +153,11 @@ def _attention_reference(
             m = m[:, :, None, :, :]
         full_mask = m
     if pos_mask is not None:
-        pm = pos_mask
-        while pm.ndim < 5:
-            pm = pm[None]
+        pm = pos_mask  # [T, S] or [B, T, S]
+        if pm.ndim == 2:
+            pm = pm[None, None, None, :, :]
+        else:
+            pm = pm[:, None, None, :, :]
         full_mask = pm if full_mask is None else (full_mask & pm)
 
     if full_mask is not None:

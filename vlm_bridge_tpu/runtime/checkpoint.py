@@ -1,0 +1,91 @@
+"""Checkpoint store: Orbax pytree checkpoints in the reference's 3-slot scheme.
+
+Slots (reference save_checkpoint, training_orchestrator.py:104-156):
+  latest/            — full train state, written every save
+  best/              — full train state at the best val loss
+  best_weights_only/ — bridge params only (deploy artifact)
+
+"Full train state" = bridge params + AdamW state + step + epoch counters +
+early-stop state. Counters travel in a JSON sidecar (human-readable, robust
+across optax version changes). Frozen encoder weights are NOT checkpointed —
+they are reproducible from the HF snapshots (the reference does the same,
+filtering state_dict keys on "bridge_module").
+
+`.pth` interop lives in params/torch_bridge.py; `export_pth` here writes a
+reference-loadable weights file from any slot.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+class CheckpointStore:
+    def __init__(self, directory: str | Path):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _slot(self, name: str) -> Path:
+        return self.dir / name
+
+    def save(
+        self,
+        slot: str,
+        *,
+        bridge_params,
+        opt_state=None,
+        meta: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Write a slot atomically (orbax requires a fresh dir; we write to
+        tmp then swap)."""
+        import shutil
+
+        tree = {"bridge_params": bridge_params}
+        if opt_state is not None:
+            tree["opt_state"] = opt_state
+        path = self._slot(slot)
+        tmp = self.dir / (slot + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        _checkpointer().save(tmp.absolute(), jax.device_get(tree))
+        (tmp / "meta.json").write_text(json.dumps(meta or {}, indent=2))
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+
+    def exists(self, slot: str) -> bool:
+        return self._slot(slot).exists()
+
+    def load(
+        self, slot: str, *, template
+    ) -> Tuple[Any, Dict[str, Any]]:
+        """Restore a slot. `template` is a pytree with the same structure
+        (e.g. {"bridge_params": ..., "opt_state": ...} from a fresh init) so
+        optax NamedTuple types are reconstructed exactly."""
+        path = self._slot(slot)
+        if not path.exists():
+            raise FileNotFoundError(f"no checkpoint slot: {path}")
+        restored = _checkpointer().restore(
+            path.absolute(), item=jax.device_get(template))
+        meta_file = path / "meta.json"
+        meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+        return restored, meta
+
+    def export_pth(self, slot: str, bridge_cfg, out_path: str | Path,
+                   *, template) -> None:
+        """Slot -> reference-format .pth (weights only)."""
+        from vlm_bridge_tpu.params import torch_bridge
+
+        restored, _ = self.load(slot, template=template)
+        torch_bridge.save_pth(restored["bridge_params"], bridge_cfg, out_path)

@@ -1,0 +1,363 @@
+"""Training orchestration: epoch loop, validation, early stopping,
+checkpoint/resume, sample generation with BLEU, TensorBoard logging.
+
+Replaces the reference orchestrator + loops
+(reference: src/vlm_bridge/training_strategy/training_orchestrator.py:13-193,
+core_training_loop.py:16-402) with a mesh-aware JAX implementation. Metric
+tags, checkpoint slots, early-stopping semantics (patience 3, min-delta 0.01)
+and the KeyboardInterrupt -> emergency checkpoint behavior are preserved.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections import Counter
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig
+from vlm_bridge_tpu.data.loader import get_data_loaders
+from vlm_bridge_tpu.data.tokenizer import get_tokenizer
+from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
+from vlm_bridge_tpu.models import full_model
+from vlm_bridge_tpu.parallel import auto_mesh, shard_batch, shard_params
+from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
+from vlm_bridge_tpu.runtime.tb_writer import SummaryWriter
+from vlm_bridge_tpu.training.train_step import (
+    TrainState, init_train_state, make_eval_step, make_schedule,
+    make_train_step, split_frozen)
+
+
+@dataclass
+class TrainingContext:
+    """Everything the loops need (reference TrainingContext,
+    training_setup.py:99-115)."""
+
+    tc: TrainingConfig
+    cfg: VLMConfig
+    mesh: Any
+    frozen: dict
+    state: TrainState
+    opt: Any
+    schedule: Any
+    train_loader: Any
+    val_loader: Any
+    tokenizer: Any
+    writer: SummaryWriter
+    store: CheckpointStore
+    train_step: Any
+    eval_step: Any
+    start_epoch: int = 0
+    best_val_loss: float = float("inf")
+    early_stop_counter: int = 0
+    activation_dtype: Any = jnp.bfloat16
+
+
+def prepare_environment(
+    tc: TrainingConfig,
+    *,
+    params: Optional[dict] = None,
+    tokenizer=None,
+    mesh=None,
+    activation_dtype=jnp.bfloat16,
+) -> TrainingContext:
+    """Build the full training context (reference prepare_environment,
+    training_setup.py:118-188): model + loaders + optimizer + logging."""
+    cfg = tc.model_config()
+
+    if tokenizer is None:
+        tokenizer = get_tokenizer(tc.tokenizer_path)
+
+    if params is None:
+        params = full_model.init(jax.random.key(tc.seed), cfg)
+        if tc.hf_vision_path:
+            from vlm_bridge_tpu.params.hf_loader import load_dinov2
+
+            params["vision"] = load_dinov2(
+                tc.hf_vision_path, cfg.vision,
+                target_grids=(cfg.image_size // cfg.vision.patch_size,))
+        if tc.hf_lm_path:
+            from vlm_bridge_tpu.params.hf_loader import load_gemma2
+
+            params["lm"] = load_gemma2(tc.hf_lm_path, cfg.lm)
+
+    if mesh is None:
+        data_ax = tc.mesh_shape[0] if tc.mesh_shape else -1
+        model_ax = tc.mesh_shape[1] if len(tc.mesh_shape) > 1 else 1
+        n = len(jax.devices())
+        if data_ax == -1:
+            data_ax = n // model_ax
+        devices = jax.devices()[: data_ax * model_ax]
+        mesh = auto_mesh(data=data_ax, model=model_ax, devices=devices)
+
+    train_loader, val_loader = get_data_loaders(
+        tc.data_dir, batch_size=tc.batch_size, tokenizer=tokenizer,
+        max_text_len=tc.max_text_len, buckets=tc.pad_to_buckets,
+        num_workers=tc.num_workers, seed=tc.seed)
+    steps_per_epoch = len(train_loader)
+    if tc.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, tc.max_steps_per_epoch)
+
+    state, opt = init_train_state(params, tc, steps_per_epoch)
+    schedule = make_schedule(tc, steps_per_epoch)
+
+    from vlm_bridge_tpu.parallel import replicate
+
+    params = shard_params(mesh, params)
+    frozen = split_frozen(params)
+    state = TrainState(
+        step=jax.device_put(state.step, replicate(mesh)),
+        bridge_params=shard_params(mesh, state.bridge_params),
+        opt_state=jax.device_put(state.opt_state, replicate(mesh)),
+    )
+
+    writer = SummaryWriter(tc.log_dir)
+    writer.add_text("config", "```\n" + "\n".join(
+        f"{k}: {v}" for k, v in sorted(vars(tc).items())) + "\n```", 0)
+    store = CheckpointStore(tc.checkpoint_dir)
+
+    with mesh:
+        train_step = make_train_step(
+            cfg, tc, opt, schedule, activation_dtype=activation_dtype)
+        eval_step = make_eval_step(cfg, tc, activation_dtype=activation_dtype)
+
+    return TrainingContext(
+        tc=tc, cfg=cfg, mesh=mesh, frozen=frozen, state=state, opt=opt,
+        schedule=schedule, train_loader=train_loader, val_loader=val_loader,
+        tokenizer=tokenizer, writer=writer, store=store,
+        train_step=train_step, eval_step=eval_step,
+        activation_dtype=activation_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint save / load
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ctx: TrainingContext, epoch: int, val_loss: float,
+                    is_best: bool) -> None:
+    meta = {
+        "epoch": epoch,
+        "step": int(ctx.state.step),
+        "val_loss": float(val_loss),
+        "best_val_loss": float(ctx.best_val_loss),
+        "early_stop_counter": ctx.early_stop_counter,
+    }
+    ctx.store.save("latest", bridge_params=ctx.state.bridge_params,
+                   opt_state=ctx.state.opt_state, meta=meta)
+    if is_best:
+        ctx.store.save("best", bridge_params=ctx.state.bridge_params,
+                       opt_state=ctx.state.opt_state, meta=meta)
+        ctx.store.save("best_weights_only",
+                       bridge_params=ctx.state.bridge_params, meta=meta)
+
+
+def load_checkpoint(ctx: TrainingContext, slot: str = "latest") -> None:
+    """Restore state + counters in place (reference load_checkpoint,
+    training_orchestrator.py:159-193)."""
+    template = {"bridge_params": ctx.state.bridge_params,
+                "opt_state": ctx.state.opt_state}
+    restored, meta = ctx.store.load(slot, template=template)
+    ctx.state = TrainState(
+        step=jnp.asarray(meta.get("step", 0), jnp.int32),
+        bridge_params=jax.device_put(restored["bridge_params"]),
+        opt_state=jax.device_put(restored["opt_state"]),
+    )
+    ctx.start_epoch = meta.get("epoch", -1) + 1
+    ctx.best_val_loss = meta.get("best_val_loss", float("inf"))
+    ctx.early_stop_counter = meta.get("early_stop_counter", 0)
+
+
+# ---------------------------------------------------------------------------
+# Epoch loops
+# ---------------------------------------------------------------------------
+
+
+def run_training_epoch(ctx: TrainingContext, epoch: int) -> float:
+    tc = ctx.tc
+    total_loss, n = 0.0, 0
+    t_epoch = time.time()
+    for batch_idx, batch in enumerate(ctx.train_loader):
+        if tc.max_steps_per_epoch and batch_idx >= tc.max_steps_per_epoch:
+            break
+        dev_batch = shard_batch(ctx.mesh, batch)
+        rng = jax.random.fold_in(
+            jax.random.key(tc.seed + 1), int(ctx.state.step))
+        with ctx.mesh:
+            ctx.state, metrics = ctx.train_step(
+                ctx.state, ctx.frozen, dev_batch, rng)
+        step = int(ctx.state.step)
+        loss = float(metrics["loss"])
+        total_loss += loss
+        n += 1
+        if step % tc.log_every_n_steps == 0:
+            ctx.writer.add_scalar("train/loss", loss, step)
+            ctx.writer.add_scalar(
+                "train/learning_rate", float(metrics["learning_rate"]), step)
+            ctx.writer.add_scalar(
+                "train/grad_norm_before_clip",
+                float(metrics["grad_norm_before_clip"]), step)
+    avg = total_loss / max(n, 1)
+    dt = time.time() - t_epoch
+    sps = n * tc.batch_size / max(dt, 1e-9)
+    ctx.writer.add_scalar("epoch/train_loss", avg, epoch)
+    ctx.writer.add_scalar("epoch/samples_per_sec", sps, epoch)
+    print(f"[Train] epoch {epoch + 1}: loss {avg:.4f} "
+          f"({n} steps, {sps:.2f} samples/s)")
+    return avg
+
+
+def run_validation_epoch(ctx: TrainingContext, epoch: int) -> float:
+    tc = ctx.tc
+    total_loss, n = 0.0, 0
+    total_len, total_samples = 0.0, 0
+    unique_tokens: set = set()
+    total_tokens = 0
+    for batch in ctx.val_loader:
+        dev_batch = shard_batch(ctx.mesh, batch)
+        with ctx.mesh:
+            m = ctx.eval_step(ctx.frozen, ctx.state.bridge_params, dev_batch)
+        total_loss += float(m["loss"])
+        n += 1
+        mask = batch["attn_mask"].astype(bool)
+        total_len += batch["attn_mask"].sum()
+        total_samples += batch["attn_mask"].shape[0]
+        valid = batch["input_ids"][mask]
+        unique_tokens.update(valid.tolist())
+        total_tokens += valid.size
+    if n == 0:
+        return float("inf")
+    avg = total_loss / n
+    ppl = math.exp(min(avg, 50.0))
+    ctx.writer.add_scalar("val/loss", avg, epoch)
+    ctx.writer.add_scalar("val/perplexity", ppl, epoch)
+    ctx.writer.add_scalar(
+        "val/avg_sequence_length", total_len / max(total_samples, 1), epoch)
+    ctx.writer.add_scalar(
+        "val/token_diversity", len(unique_tokens) / max(total_tokens, 1), epoch)
+    print(f"[Validation] epoch {epoch + 1}: loss {avg:.4f}, ppl {ppl:.2f}")
+
+    if (epoch + 1) % tc.generate_samples_every_n_epochs == 0:
+        generate_validation_samples(ctx, epoch)
+    return avg
+
+
+# ---------------------------------------------------------------------------
+# Sample generation + BLEU
+# ---------------------------------------------------------------------------
+
+
+def simple_bleu4(candidate: str, reference: str) -> float:
+    """Sentence BLEU-4 with brevity penalty and uniform n-gram weights
+    (reference _calculate_simple_bleu4, core_training_loop.py:405-462)."""
+    cand = candidate.lower().split()
+    ref = reference.lower().split()
+    if not cand or not ref:
+        return 0.0
+    log_precisions = []
+    for order in range(1, 5):
+        c_ngrams = Counter(
+            tuple(cand[i:i + order]) for i in range(len(cand) - order + 1))
+        r_ngrams = Counter(
+            tuple(ref[i:i + order]) for i in range(len(ref) - order + 1))
+        overlap = sum((c_ngrams & r_ngrams).values())
+        total = max(sum(c_ngrams.values()), 1)
+        if overlap == 0:
+            return 0.0
+        log_precisions.append(math.log(overlap / total))
+    bp = 1.0 if len(cand) > len(ref) else math.exp(1 - len(ref) / max(len(cand), 1))
+    return bp * math.exp(sum(log_precisions) / 4)
+
+
+def generate_validation_samples(ctx: TrainingContext, epoch: int) -> None:
+    """Caption the first val batch, log text + BLEU to TB (reference
+    _generate_validation_samples, core_training_loop.py:257-402)."""
+    tc = ctx.tc
+    try:
+        batch = next(iter(ctx.val_loader))
+    except StopIteration:
+        return
+    k = min(tc.num_validation_samples, batch["pixel_values"].shape[0])
+    params = {**ctx.frozen, "bridge": jax.tree.map(
+        lambda p: p.astype(ctx.activation_dtype), ctx.state.bridge_params)}
+    from vlm_bridge_tpu.data.preprocess import normalize_on_device
+
+    pixels = normalize_on_device(
+        jnp.asarray(batch["pixel_values"][:k]), dtype=ctx.activation_dtype)
+    toks, lengths = generate_tokens(
+        params, ctx.cfg, pixel_values=pixels,
+        rng=jax.random.key(epoch),
+        gen=GenerationConfig(max_length=50, temperature=0.7, top_p=0.9),
+        activation_dtype=ctx.activation_dtype)
+    toks = np.asarray(toks)
+    bleus, lens = [], []
+    for i in range(k):
+        text = ctx.tokenizer.decode(toks[i].tolist())
+        ref_caption = batch["captions"][i]
+        bleu = simple_bleu4(text, ref_caption)
+        bleus.append(bleu)
+        lens.append(len(text.split()))
+        ctx.writer.add_text(
+            f"val/sample_{i}",
+            f"**generated:** {text}\n\n**reference:** {ref_caption}\n\n"
+            f"**bleu4:** {bleu:.4f}", epoch)
+    if bleus:
+        ctx.writer.add_scalar("val/sample_bleu_avg", float(np.mean(bleus)), epoch)
+        ctx.writer.add_scalar("val/sample_length_avg", float(np.mean(lens)), epoch)
+
+
+# ---------------------------------------------------------------------------
+# Full training
+# ---------------------------------------------------------------------------
+
+
+def execute_full_training(
+    tc: TrainingConfig, *, ctx: Optional[TrainingContext] = None,
+) -> Dict[str, Any]:
+    """Epoch loop with resume, best tracking, early stopping, emergency
+    checkpoint on KeyboardInterrupt (reference execute_full_training,
+    training_orchestrator.py:13-101)."""
+    if ctx is None:
+        ctx = prepare_environment(tc)
+    if tc.resume_from_checkpoint:
+        load_checkpoint(ctx, tc.resume_from_checkpoint)
+        print(f"resumed from epoch {ctx.start_epoch}")
+
+    history: List[Dict[str, float]] = []
+    try:
+        for epoch in range(ctx.start_epoch, tc.num_epochs):
+            train_loss = run_training_epoch(ctx, epoch)
+            val_loss = float("nan")
+            if (epoch + 1) % tc.val_every_n_epochs == 0:
+                val_loss = run_validation_epoch(ctx, epoch)
+                improved = val_loss < ctx.best_val_loss - tc.early_stopping_min_delta
+                if improved:
+                    ctx.best_val_loss = val_loss
+                    ctx.early_stop_counter = 0
+                else:
+                    ctx.early_stop_counter += 1
+            else:
+                improved = False
+            if (epoch + 1) % tc.save_every_n_epochs == 0:
+                save_checkpoint(ctx, epoch, val_loss, improved)
+            history.append({"epoch": epoch, "train_loss": train_loss,
+                            "val_loss": val_loss})
+            if (tc.use_early_stopping
+                    and ctx.early_stop_counter >= tc.early_stopping_patience):
+                print(f"early stopping at epoch {epoch + 1}")
+                break
+    except KeyboardInterrupt:
+        print("interrupted — writing emergency checkpoint")
+        save_checkpoint(ctx, epoch, float("nan"), False)
+        raise
+    finally:
+        ctx.writer.flush()
+
+    return {"history": history, "best_val_loss": ctx.best_val_loss,
+            "epochs_run": len(history), "ctx": ctx}
