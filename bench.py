@@ -1,0 +1,187 @@
+"""Benchmark: bridge-training samples/sec/chip + greedy decode captions/sec.
+
+Runs the flagship stack (frozen DINOv2-large + Bridge-Lite 158M + frozen
+Gemma-2-2B, bf16, random-init weights — throughput is weight-independent) on
+whatever accelerator JAX exposes (the axon-tunneled TPU v5e in this
+environment) and prints ONE JSON line:
+
+  {"metric": "bridge_train_samples_per_sec_chip", "value": ..., "unit":
+   "samples/s", "vs_baseline": ..., ...extras}
+
+Baseline: the reference A100-40GB bs=8 run — 41,880 samples in ~2.5 h/epoch
+(README.md:280 says "2-3 hours"; the later "~30 min" claim in the same doc is
+contradictory — we use the conservative 2.5 h figure) = 4.65 samples/s.
+
+Usage: python bench.py [--preset tiny] [--batch 8] [--seq 256] [--steps 10]
+                       [--decode-batch 32] [--skip-decode] [--skip-train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+A100_BS8_SAMPLES_PER_SEC = 41880 / (2.5 * 3600)  # 4.653
+RTX4080_CAPTIONS_PER_SEC = 7.5  # "~5-10 captions/s" (README.md:282-284)
+
+
+def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlm_bridge_tpu.models import full_model
+    from vlm_bridge_tpu.parallel import auto_mesh, replicate, shard_batch, shard_params
+    from vlm_bridge_tpu.training.train_step import (
+        TrainState, init_train_state, make_schedule, make_train_step,
+        split_frozen)
+
+    mesh = auto_mesh(model=1)
+    n_chips = len(jax.devices())
+
+    params = full_model.init(jax.random.key(0), cfg)
+    state, opt = init_train_state(params, tc, steps_per_epoch=1000)
+    schedule = make_schedule(tc, 1000)
+    params = shard_params(mesh, params)
+    frozen = split_frozen(params)
+    state = TrainState(
+        step=jax.device_put(state.step, replicate(mesh)),
+        bridge_params=shard_params(mesh, state.bridge_params),
+        opt_state=jax.device_put(state.opt_state, replicate(mesh)),
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixel_values": rng.integers(
+            0, 256, (batch_size, cfg.image_size, cfg.image_size, 3), np.uint8),
+        "input_ids": rng.integers(
+            3, cfg.lm.vocab_size, (batch_size, seq_len)).astype(np.int32),
+        "attn_mask": np.ones((batch_size, seq_len), np.int32),
+    }
+    dev_batch = shard_batch(mesh, batch)
+
+    # NOTE: on the axon-tunneled TPU, block_until_ready returns before remote
+    # execution completes; a host readback of a scalar that depends on the
+    # full chain is the only reliable fence.
+    with mesh:
+        step = make_train_step(cfg, tc, opt, schedule)
+        t_compile = time.time()
+        for i in range(warmup):
+            state, metrics = step(state, frozen, dev_batch, jax.random.key(i))
+        float(jax.device_get(metrics["loss"]))
+        compile_s = time.time() - t_compile
+
+        t0 = time.time()
+        for i in range(steps):
+            state, metrics = step(state, frozen, dev_batch, jax.random.key(i))
+        float(jax.device_get(metrics["loss"]))
+        dt = time.time() - t0
+
+    sps = steps * batch_size / dt
+    return {
+        "train_samples_per_sec": sps,
+        "train_samples_per_sec_per_chip": sps / n_chips,
+        "train_step_ms": 1000 * dt / steps,
+        "train_compile_s": compile_s,
+        "loss": float(metrics["loss"]),
+    }
+
+
+def bench_decode(cfg, batch_size, max_length, reps=3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlm_bridge_tpu.inference.generate import (
+        GenerationConfig, generate_tokens)
+    from vlm_bridge_tpu.models import full_model
+
+    n_chips = len(jax.devices())
+    params = full_model.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(
+        rng.normal(0, 1, (batch_size, cfg.image_size, cfg.image_size, 3)),
+        jnp.bfloat16)
+    gen = GenerationConfig(max_length=max_length, greedy=True)
+
+    # warmup/compile (np.asarray = real completion fence on axon)
+    toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
+    np.asarray(toks)
+
+    t0 = time.time()
+    for _ in range(reps):
+        toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
+    np.asarray(toks)
+    dt = (time.time() - t0) / reps
+
+    cps = batch_size / dt
+    return {
+        "decode_captions_per_sec": cps,
+        "decode_captions_per_sec_per_chip": cps / n_chips,
+        "decode_tokens_per_sec": batch_size * max_length / dt,
+        "decode_batch_time_s": dt,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="default", choices=["default", "tiny"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--decode-batch", type=int, default=32)
+    ap.add_argument("--decode-len", type=int, default=50)
+    ap.add_argument("--skip-decode", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig
+
+    if args.preset == "tiny":
+        cfg = VLMConfig.tiny_test()
+        tc = TrainingConfig(model_preset="tiny_test", batch_size=args.batch,
+                            loss_chunk_size=32)
+    else:
+        cfg = VLMConfig.default()
+        tc = TrainingConfig(batch_size=args.batch)
+
+    import jax
+
+    extras = {
+        "backend": jax.default_backend(),
+        "n_devices": len(jax.devices()),
+        "preset": args.preset,
+        "batch": args.batch,
+        "seq": args.seq,
+    }
+
+    if not args.skip_train:
+        extras.update(bench_train(cfg, tc, args.batch, args.seq, args.steps))
+    if not args.skip_decode:
+        extras.update(bench_decode(cfg, args.decode_batch, args.decode_len))
+        extras["decode_vs_baseline"] = (
+            extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)
+
+    value = extras.pop("train_samples_per_sec_per_chip", None)
+    if value is None:
+        value = extras.get("decode_captions_per_sec_per_chip", 0.0)
+        metric = "decode_captions_per_sec_chip"
+        vs = value / RTX4080_CAPTIONS_PER_SEC
+    else:
+        metric = "bridge_train_samples_per_sec_chip"
+        vs = value / A100_BS8_SAMPLES_PER_SEC
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 3),
+        **{k: (round(v, 4) if isinstance(v, float) else v)
+           for k, v in extras.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
