@@ -1,16 +1,21 @@
-"""Pallas TPU flash-attention kernel.
+"""Pallas TPU flash attention — forward + custom-VJP backward kernels.
 
-Tiled online-softmax attention that keeps the [T, S] logit matrix out of HBM.
-Supports the union of features the framework needs:
+Tiled online-softmax attention that never materializes the [T, S] logit
+matrix in HBM. Feature union needed by the framework:
 
 - GQA (H % KH == 0) — Gemma-2 uses 8 query / 4 KV heads
 - causal masking + sliding windows (Gemma-2 alternating layers)
-- logit soft-capping (tanh)
-- padding masks via per-row kv length
-- cross-attention (T != S, no causality) — bridge and ViT
+- logit soft-capping (tanh) with exact gradient
+- padded-key masking (S padded to block multiples)
+- cross-attention (T != S, non-causal) — bridge and ViT
 
-`maybe_flash_attention` returns None for unsupported shapes so the caller can
-fall back to the jnp reference path (attention.py).
+The backward pass is the standard flash recurrence: the forward saves only
+out + per-row logsumexp; dq and dk/dv are computed by two tiled kernels that
+recompute logits per block (no O(T*S) memory). GQA backward computes per
+query head and group-sums dk/dv outside the kernel.
+
+`maybe_flash_attention` returns None for unsupported shapes so the caller
+falls back to the jnp reference path (attention.py).
 """
 
 from __future__ import annotations
@@ -25,9 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -2.3819763e38
 
-# Tunables: block sizes aligned to MXU/VPU tiling (see pallas_guide.md).
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
+
+# Tests flip this to run the kernels in the Pallas interpreter (CPU-hermetic).
+INTERPRET = False
 
 
 def maybe_flash_attention(
@@ -37,10 +44,8 @@ def maybe_flash_attention(
     """Dispatch to the Pallas kernel when supported, else None."""
     B, T, H, D = q.shape
     S, KH = k.shape[1], k.shape[2]
-    # The kernel handles position-derived masks itself; arbitrary dense masks
-    # currently fall back (they only occur in tests).
     if mask is not None:
-        return None
+        return None  # dense masks only occur in tests / tiny paths
     if q_positions is not None or kv_positions is not None:
         return None
     if D % 128 != 0 and D not in (64,):
@@ -56,11 +61,6 @@ def maybe_flash_attention(
         return None
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scale", "is_causal", "logit_softcap", "sliding_window",
-                     "block_q", "block_k"),
-)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -73,50 +73,92 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
-    """Flash attention. q: [B,T,H,D], k/v: [B,S,KH,D] -> [B,T,H,D].
-
-    Grid: (B*H, T/block_q, S/block_k) with the key loop innermost ("megacore"
-    friendly). Accumulates in f32 with the standard online-softmax recurrence.
-    """
+    """q: [B,T,H,D], k/v: [B,S,KH,D] -> [B,T,H,D]. Differentiable."""
     B, T, H, D = q.shape
-    S, KH = k.shape[1], k.shape[2]
-    G = H // KH
+    S = k.shape[1]
+    block_q = min(block_q, _round_up(T, 8))
+    block_k = min(block_k, _round_up(S, 128))
+    # causal offset: queries are assumed to be the last T of the S positions
+    q_offset = S - T if is_causal else 0
+    return _flash_core(
+        q, k, v, scale, is_causal, logit_softcap, sliding_window,
+        q_offset, block_q, block_k)
 
-    orig_T = T
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core (operates on unpadded logical shapes; pads internally)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_core(q, k, v, scale, is_causal, logit_softcap, sliding_window,
+                q_offset, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, scale, is_causal, logit_softcap,
+                        sliding_window, q_offset, block_q, block_k)
+    return out
+
+
+def _flash_core_fwd(q, k, v, scale, is_causal, logit_softcap, sliding_window,
+                    q_offset, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, scale, is_causal, logit_softcap,
+                          sliding_window, q_offset, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_core_bwd(scale, is_causal, logit_softcap, sliding_window,
+                    q_offset, block_q, block_k, res, dout):
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_bwd(
+        q, k, v, out, lse, dout, scale, is_causal, logit_softcap,
+        sliding_window, q_offset, block_q, block_k)
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _pad_qkv(q, k, v, block_q, block_k):
+    B, T, H, D = q.shape
+    S = k.shape[1]
     pad_q = (-T) % block_q
     pad_k = (-S) % block_k
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
-        T = q.shape[1]
     if pad_k:
         k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    return q, k, v, T, S
 
-    S_padded = k.shape[1]
-    kv_valid_len = S  # mask out padded keys
 
-    # Layout: move heads to a leading dim so each grid step sees a 2D tile.
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd(q, k, v, scale, is_causal, logit_softcap, sliding_window,
+               q_offset, block_q, block_k):
+    B, T0, H, D = q.shape
+    KH = k.shape[2]
+    G = H // KH
+    q, k, v, T_real, S_real = _pad_qkv(q, k, v, block_q, block_k)
+    T, S = q.shape[1], k.shape[1]
+
     qh = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
-    kh = k.transpose(0, 2, 1, 3).reshape(B * KH, S_padded, D)
-    vh = v.transpose(0, 2, 1, 3).reshape(B * KH, S_padded, D)
+    kh = k.transpose(0, 2, 1, 3).reshape(B * KH, S, D)
+    vh = v.transpose(0, 2, 1, 3).reshape(B * KH, S, D)
 
-    grid = (B * H, pl.cdiv(T, block_q), pl.cdiv(S_padded, block_k))
-
+    grid = (B * H, T // block_q, S // block_k)
     kernel = functools.partial(
-        _fa_kernel,
-        scale=scale,
-        is_causal=is_causal,
-        logit_softcap=logit_softcap,
-        sliding_window=sliding_window,
-        kv_valid_len=kv_valid_len,
-        q_offset=S - orig_T if is_causal else 0,
-        block_q=block_q,
-        block_k=block_k,
-        num_k_blocks=grid[2],
-        groups=G,
-    )
+        _fwd_kernel, scale=scale, is_causal=is_causal,
+        logit_softcap=logit_softcap, sliding_window=sliding_window,
+        kv_valid_len=S_real, q_offset=q_offset,
+        block_q=block_q, block_k=block_k, num_k_blocks=grid[2])
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -124,25 +166,31 @@ def flash_attention(
             pl.BlockSpec((1, block_k, D), lambda h, i, j, G=G: (h // G, j, 0)),
             pl.BlockSpec((1, block_k, D), lambda h, i, j, G=G: (h // G, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),   # output accumulator
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running denom
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j: (h, i, 0)),
         ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            # per-row logsumexp, broadcast over 128 lanes (TPU tiling minimum)
+            jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=INTERPRET,
     )(qh, kh, vh)
 
-    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
-    if pad_q:
-        out = out[:, :orig_T]
-    return out
+    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)[:, :T_real]
+    return out, lse  # lse stays padded [B*H, T]; bwd uses same padding
 
 
-def _fa_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
     *, scale, is_causal, logit_softcap, sliding_window, kv_valid_len,
-    q_offset, block_q, block_k, num_k_blocks, groups,
+    q_offset, block_q, block_k, num_k_blocks,
 ):
     j = pl.program_id(2)
     qi = pl.program_id(1)
@@ -153,24 +201,23 @@ def _fa_kernel(
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    # Skip fully-masked blocks (causal/window): compute block bounds.
-    q_start = qi * block_q + q_offset  # absolute position of first query row
+    q_start = qi * block_q + q_offset
     k_start = j * block_k
 
     run = k_start < kv_valid_len
     if is_causal:
         run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
     if sliding_window is not None:
-        # keys must satisfy kpos > qpos - window for some row in this block
-        run = jnp.logical_and(run, k_start + block_k - 1 > q_start - sliding_window)
+        run = jnp.logical_and(
+            run, k_start + block_k - 1 > q_start - sliding_window)
 
     @pl.when(run)
     def _body():
-        q = q_ref[0].astype(jnp.float32)  # [bq, D]
-        k = k_ref[0].astype(jnp.float32)  # [bk, D]
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bk]
+        ) * scale
 
         if logit_softcap is not None:
             logits = jnp.tanh(logits / logit_softcap) * logit_softcap
@@ -184,17 +231,16 @@ def _fa_kernel(
             mask &= kpos > qpos - sliding_window
         logits = jnp.where(mask, logits, _NEG_INF)
 
-        m_prev = m_scr[:, :1]                       # [bq, 1]
+        m_prev = m_scr[:, :1]
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new)                 # [bq, bk]
-        correction = jnp.exp(m_prev - m_new)        # [bq, 1]
+        p = jnp.exp(logits - m_new)
+        correction = jnp.exp(m_prev - m_new)
         l_new = correction * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
         pv = jax.lax.dot_general(
             p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=jnp.float32)
         acc[:] = acc[:] * correction + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -202,5 +248,216 @@ def _fa_kernel(
     @pl.when(j == num_k_blocks - 1)
     def _finish():
         denom = l_scr[:, :1]
-        denom = jnp.where(denom == 0.0, 1.0, denom)
-        o_ref[0] = (acc[:] / denom).astype(o_ref.dtype)
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc[:] / safe).astype(o_ref.dtype)
+        # logsumexp per row (rows with empty support get _NEG_INF-ish)
+        lse = m_scr[:, :1] + jnp.log(safe)
+        lse_ref[0] = jnp.broadcast_to(
+            jnp.where(denom == 0.0, _NEG_INF, lse), lse_ref.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd(q, k, v, out, lse, dout, scale, is_causal, logit_softcap,
+               sliding_window, q_offset, block_q, block_k):
+    B, T0, H, D = q.shape
+    KH = k.shape[2]
+    G = H // KH
+    q, k, v, T_real, S_real = _pad_qkv(q, k, v, block_q, block_k)
+    dout = jnp.pad(
+        dout, ((0, 0), (0, q.shape[1] - T_real), (0, 0), (0, 0)))
+    T, S = q.shape[1], k.shape[1]
+
+    qh = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+    kh = k.transpose(0, 2, 1, 3).reshape(B * KH, S, D)
+    vh = v.transpose(0, 2, 1, 3).reshape(B * KH, S, D)
+    doh = dout.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+
+    # delta_i = rowsum(dout * out) — cheap, computed in XLA
+    out_p = jnp.pad(out, ((0, 0), (0, T - T_real), (0, 0), (0, 0)))
+    delta = jnp.sum(
+        out_p.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1)
+    delta = delta.transpose(0, 2, 1).reshape(B * H, T, 1)
+    delta = jnp.broadcast_to(delta, (B * H, T, 128))
+
+    common = dict(
+        scale=scale, is_causal=is_causal, logit_softcap=logit_softcap,
+        sliding_window=sliding_window, kv_valid_len=S_real, q_offset=q_offset,
+        block_q=block_q, block_k=block_k)
+
+    # ---- dq: grid over (head, q block), loop k blocks -------------------
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, num_k_blocks=S // block_k, **common),
+        grid=(B * H, T // block_q, S // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, G=G: (h // G, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, G=G: (h // G, j, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j: (h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=INTERPRET,
+    )(qh, kh, vh, doh, lse, delta)
+
+    # ---- dk/dv: grid over (head, k block), loop q blocks ----------------
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, num_q_blocks=T // block_q, **common),
+        grid=(B * H, S // block_k, T // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, j, i, G=G: (h // G, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, j, i, G=G: (h // G, j, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, j, i: (h, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, j, i: (h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(qh, kh, vh, doh, lse, delta)
+
+    dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)[:, :T_real]
+    # group-sum GQA head gradients: [B, H, S, D] -> [B, KH, S, D]
+    dk = dk.reshape(B, KH, G, S, D).sum(axis=2).transpose(0, 2, 1, 3)[:, :S_real]
+    dv = dv.reshape(B, KH, G, S, D).sum(axis=2).transpose(0, 2, 1, 3)[:, :S_real]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _recompute_p(q, k, lse_row, *, scale, logit_softcap, is_causal,
+                 sliding_window, kv_valid_len, q_start, k_start):
+    """Recompute probabilities + pre-cap logits tanh term for one tile.
+
+    Returns (p [bq, bk], dcap [bq, bk]) where dcap is d(capped)/d(raw logits)
+    (ones when no softcap)."""
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if logit_softcap is not None:
+        t = jnp.tanh(logits / logit_softcap)
+        capped = t * logit_softcap
+        dcap = 1.0 - t * t
+    else:
+        capped = logits
+        dcap = jnp.ones_like(logits)
+
+    qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, capped.shape, 0)
+    kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, capped.shape, 1)
+    mask = kpos < kv_valid_len
+    if is_causal:
+        mask &= kpos <= qpos
+    if sliding_window is not None:
+        mask &= kpos > qpos - sliding_window
+
+    p = jnp.exp(jnp.where(mask, capped, _NEG_INF) - lse_row)
+    p = jnp.where(mask, p, 0.0)
+    return p, dcap
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
+    *, scale, is_causal, logit_softcap, sliding_window, kv_valid_len,
+    q_offset, block_q, block_k, num_k_blocks,
+):
+    j = pl.program_id(2)
+    qi = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    q_start = qi * block_q + q_offset
+    k_start = j * block_k
+    run = k_start < kv_valid_len
+    if is_causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
+    if sliding_window is not None:
+        run = jnp.logical_and(
+            run, k_start + block_k - 1 > q_start - sliding_window)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        lse_row = lse_ref[0][:, :1]
+        p, dcap = _recompute_p(
+            q, k, lse_row, scale=scale, logit_softcap=logit_softcap,
+            is_causal=is_causal, sliding_window=sliding_window,
+            kv_valid_len=kv_valid_len, q_start=q_start, k_start=k_start)
+        do = do_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, :1]) * dcap * scale
+        acc[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_k_blocks - 1)
+    def _finish():
+        dq_ref[0] = acc[:]
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale, is_causal, logit_softcap, sliding_window, kv_valid_len,
+    q_offset, block_q, block_k, num_q_blocks,
+):
+    i = pl.program_id(2)   # q block (inner)
+    kj = pl.program_id(1)  # k block
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_start = i * block_q + q_offset
+    k_start = kj * block_k
+    run = k_start < kv_valid_len
+    if is_causal:
+        run = jnp.logical_and(run, k_start <= q_start + block_q - 1)
+    if sliding_window is not None:
+        run = jnp.logical_and(
+            run, k_start + block_k - 1 > q_start - sliding_window)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        lse_row = lse_ref[0][:, :1]
+        p, dcap = _recompute_p(
+            q, k, lse_row, scale=scale, logit_softcap=logit_softcap,
+            is_causal=is_causal, sliding_window=sliding_window,
+            kv_valid_len=kv_valid_len, q_start=q_start, k_start=k_start)
+        do = do_ref[0].astype(jnp.float32)
+        # dv += p^T @ do
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, :1]) * dcap * scale
+        # dk += ds^T @ q
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(i == num_q_blocks - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:]
+        dv_ref[0] = dv_acc[:]
