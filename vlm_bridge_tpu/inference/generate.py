@@ -254,7 +254,7 @@ def generate_tokens(
     (reference full_model.py:379-384).
     """
     if vision_features is None:
-        vision_features = full_model.encode_image(params, cfg, pixel_values)
+        vision_features = full_model.encode_image_jit(params, cfg, pixel_values)
     if rng is None:
         rng = jax.random.key(0)
     fn = _generate_exact if gen.exact else _generate_fast

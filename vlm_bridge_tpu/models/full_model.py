@@ -58,6 +58,14 @@ def encode_image(params: dict, cfg: VLMConfig, pixel_values: jax.Array) -> jax.A
     return jax.lax.stop_gradient(feats)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_image_jit(params: dict, cfg: VLMConfig, pixel_values: jax.Array) -> jax.Array:
+    """Jitted standalone vision encode for inference paths. (Unjitted op-by-op
+    dispatch costs seconds per batch through the remote-TPU tunnel; inside
+    the training step this is already fused by the surrounding jit.)"""
+    return encode_image(params, cfg, pixel_values)
+
+
 def bridge_text(
     params: dict,
     cfg: VLMConfig,
