@@ -38,7 +38,15 @@ def main(argv=None) -> int:
     p_st = sub.add_parser("stats", help="print split statistics")
     p_st.add_argument("--data-dir", default="data/groundcap")
 
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force a JAX backend (CPU smoke runs)")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from vlm_bridge_tpu.data import groundcap
 

@@ -109,8 +109,9 @@ class BatchLoader:
             n += 1
         return n
 
-    def _make_batch(self, idxs: List[int], pool: ThreadPoolExecutor) -> Dict:
-        images = list(pool.map(self.ds.load_image, idxs))
+    def _make_batch(self, idxs: List[int], pool: Optional[ThreadPoolExecutor]) -> Dict:
+        mapper = pool.map if pool is not None else map
+        images = list(mapper(self.ds.load_image, idxs))
         captions = [self.ds.caption(i) for i in idxs]
         ids, mask = batch_encode(
             self.tokenizer, captions, self.max_text_len, self.buckets)
@@ -134,16 +135,25 @@ class BatchLoader:
         if batches and len(batches[-1]) < self.batch_size and self.drop_last:
             batches.pop()
 
+        if self.num_workers <= 0:
+            # synchronous path (torch DataLoader num_workers=0 semantics)
+            for idxs in batches:
+                yield self._make_batch(idxs, None)
+            return
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    q.put(self._make_batch(idxs, pool))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        q.put(self._make_batch(idxs, pool))
+                q.put(None)
+            except BaseException as e:  # surface in the consumer, don't hang it
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -152,6 +162,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -48,6 +48,10 @@ class GenerationConfig:
     greedy: bool = False
     exact: bool = False           # reference-parity mode
     topk_window: int = 128
+    bypass_bridge: bool = False   # A/B debugging: feed raw Gemma embeddings,
+                                  # skipping the bridge (functional equivalent
+                                  # of the reference's forward monkey-patch,
+                                  # debug_generation.py:274-325)
 
 
 # ---------------------------------------------------------------------------
@@ -160,8 +164,11 @@ def _generate_fast(
     def step(carry, t):
         tok, done, bridge_cache, kv_cache = carry
         embed = gemma2.embed(params["lm"], tok[:, None]).astype(activation_dtype)
-        bridged, bridge_cache = _bridge_decode_step(
-            params["bridge"], br_cfg, bridge_cache, embed, t)
+        if gen.bypass_bridge:
+            bridged = embed
+        else:
+            bridged, bridge_cache = _bridge_decode_step(
+                params["bridge"], br_cfg, bridge_cache, embed, t)
         hidden, kv_cache = gemma2.decode_step(
             params["lm"], lm_cfg, bridged, kv_cache)
         logits = gemma2.logits_from_hidden(params["lm"], lm_cfg, hidden)[:, 0]
@@ -211,8 +218,11 @@ def _generate_exact(
         tokens, done = state
         mask = (jnp.arange(L)[None, :] < t).astype(jnp.int32)
         mask = jnp.broadcast_to(mask, (B, L))
-        bridged = full_model.bridge_text(
-            params, cfg, tokens, vision, attn_mask=mask, bridge_pad_mask=True)
+        if gen.bypass_bridge:
+            bridged = gemma2.embed(params["lm"], tokens)
+        else:
+            bridged = full_model.bridge_text(
+                params, cfg, tokens, vision, attn_mask=mask, bridge_pad_mask=True)
         hidden = gemma2.forward_hidden(
             params["lm"], lm_cfg, bridged.astype(activation_dtype),
             attn_mask=mask, remat=False)

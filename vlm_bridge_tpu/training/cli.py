@@ -20,7 +20,20 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--resume", nargs="?", const="latest", default=None,
         help="resume from a checkpoint slot (default: latest)")
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force a JAX backend (needed for CPU smoke runs in environments "
+             "that pin an accelerator platform at interpreter startup)")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import os
+
+        if args.platform == "cpu":
+            os.environ.setdefault("VLM_BRIDGE_DISABLE_PALLAS", "1")
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from vlm_bridge_tpu.configs import TrainingConfig
     from vlm_bridge_tpu.training.orchestrator import execute_full_training
