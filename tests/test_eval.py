@@ -1,0 +1,98 @@
+"""Eval harness tests: corpus BLEU, CIDEr-D, end-to-end split evaluation.
+
+Metric oracles are hand-computed small cases; the end-to-end test runs the
+tiny model over a synthetic on-disk dataset (SURVEY.md §7 stage 9 harness).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlm_bridge_tpu.configs import VLMConfig
+from vlm_bridge_tpu.data.groundcap import make_synthetic_dataset
+from vlm_bridge_tpu.data.tokenizer import ByteTokenizer
+from vlm_bridge_tpu.inference.evaluate import evaluate_split
+from vlm_bridge_tpu.inference.generate import GenerationConfig
+from vlm_bridge_tpu.inference.metrics import cider_d, corpus_bleu, evaluate_captions
+from vlm_bridge_tpu.models import full_model
+
+
+def test_bleu_perfect_match():
+    cands = ["a dog runs fast", "the cat sleeps on the mat"]
+    refs = [[c] for c in cands]
+    m = corpus_bleu(cands, refs)
+    for n in range(1, 5):
+        assert m[f"bleu{n}"] == pytest.approx(1.0)
+    assert m["brevity_penalty"] == 1.0
+
+
+def test_bleu_no_overlap():
+    m = corpus_bleu(["x y z w"], [["a b c d"]])
+    assert m["bleu1"] == 0.0 and m["bleu4"] == 0.0
+
+
+def test_bleu_hand_computed():
+    # candidate: "the the the" vs ref "the cat": clipped unigram = 1 (ref has
+    # one "the"), total = 3 -> p1 = 1/3; cand longer than ref -> BP = 1
+    m = corpus_bleu(["the the the"], [["the cat"]])
+    assert m["bleu1"] == pytest.approx(1 / 3)
+    assert m["brevity_penalty"] == 1.0
+
+
+def test_bleu_brevity_penalty():
+    # cand len 2, ref len 4 -> BP = exp(1 - 4/2) = e^-1
+    m = corpus_bleu(["a b"], [["a b c d"]])
+    assert m["brevity_penalty"] == pytest.approx(math.exp(-1))
+    assert m["bleu1"] == pytest.approx(math.exp(-1) * 1.0)
+
+
+def test_cider_identity_beats_mismatch():
+    refs = [["a dog runs in the park"], ["a cat sits on a mat"],
+            ["two birds fly over water"]]
+    perfect = [r[0] for r in refs]
+    wrong = ["purple monkey dishwasher x", "purple monkey dishwasher x",
+             "purple monkey dishwasher x"]
+    assert cider_d(perfect, refs) > cider_d(wrong, refs)
+    assert cider_d(wrong, refs) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cider_length_penalty():
+    refs = [["a dog runs in the park"]] * 2
+    short = ["a dog"]
+    exact = ["a dog runs in the park"]
+    assert cider_d(exact, refs[:1]) > cider_d(short, refs[:1])
+
+
+def test_evaluate_captions_keys():
+    m = evaluate_captions(["a b c"], [["a b c"]])
+    assert {"bleu1", "bleu2", "bleu3", "bleu4", "cider_d",
+            "brevity_penalty", "length_ratio"} <= set(m)
+
+
+def test_evaluate_split_end_to_end(tmp_path):
+    make_synthetic_dataset(tmp_path, num_samples=10, image_size=70, seed=0)
+    cfg = VLMConfig.tiny_test()
+    params = full_model.init(jax.random.key(0), cfg, frozen_dtype=jnp.float32)
+    result = evaluate_split(
+        params, cfg, tmp_path, tokenizer=ByteTokenizer(), split="train",
+        batch_size=3, gen=GenerationConfig(max_length=6, greedy=True),
+        activation_dtype=jnp.float32, verbose=False)
+    # synthetic 80% split: 8 train samples -> 2 full batches + padded partial
+    assert result["num_samples"] == 8
+    assert result["captions_per_sec"] > 0
+    assert 0.0 <= result["metrics"]["bleu4"] <= 1.0
+    assert len(result["samples"]) == 8
+
+
+def test_evaluate_split_max_samples(tmp_path):
+    make_synthetic_dataset(tmp_path, num_samples=10, image_size=70, seed=0)
+    cfg = VLMConfig.tiny_test()
+    params = full_model.init(jax.random.key(0), cfg, frozen_dtype=jnp.float32)
+    result = evaluate_split(
+        params, cfg, tmp_path, tokenizer=ByteTokenizer(), split="train",
+        batch_size=4, gen=GenerationConfig(max_length=4, greedy=True),
+        max_samples=5, activation_dtype=jnp.float32, verbose=False)
+    assert result["num_samples"] == 5

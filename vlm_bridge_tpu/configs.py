@@ -229,6 +229,9 @@ class TrainingConfig:
     tokenizer_path: Optional[str] = None
     loss_chunk_size: int = 128                   # seq chunking for the 256k-vocab CE
     max_steps_per_epoch: Optional[int] = None    # truncate (tests / smoke runs)
+    profile_trace_dir: Optional[str] = None      # capture a jax.profiler trace here
+    profile_start_step: int = 10                 # trace window start (epoch-local)
+    profile_num_steps: int = 5                   # trace window length
 
     # ------------------------------------------------------------------
     @classmethod

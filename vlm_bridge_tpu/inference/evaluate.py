@@ -1,0 +1,184 @@
+"""Batched test-split evaluation harness: KV-cache decode + BLEU/CIDEr.
+
+SURVEY.md §7 stage 9: batch-32 greedy/top-p generation over the GroundCap
+test split (9,423 captions for the real dataset) with corpus BLEU-1..4 and
+CIDEr-D scoring, plus throughput accounting (captions/sec — the BASELINE
+headline decode metric). The reference has no batch eval harness at all; its
+closest analogue is per-epoch 3-sample validation scoring
+(reference: core_training_loop.py:257-402).
+
+TPU notes:
+- decode runs the jitted scan generator at a fixed batch size; the trailing
+  partial batch is padded by repetition and trimmed after decode so every
+  jit trace sees one static shape
+- images stream through the BatchLoader's prefetch queue; normalization
+  happens on device (uint8 ships over PCIe/tunnel, not f32)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlm_bridge_tpu.configs import VLMConfig
+from vlm_bridge_tpu.data.loader import BatchLoader, VLDataset
+from vlm_bridge_tpu.data.preprocess import normalize_on_device
+from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
+from vlm_bridge_tpu.inference.metrics import evaluate_captions
+from vlm_bridge_tpu.inference.robust import decode_captions
+
+
+def evaluate_split(
+    params,
+    cfg: VLMConfig,
+    data_dir: str | Path,
+    *,
+    tokenizer,
+    split: str = "test",
+    batch_size: int = 32,
+    gen: GenerationConfig = GenerationConfig(max_length=50, greedy=True),
+    max_samples: Optional[int] = None,
+    activation_dtype=jnp.bfloat16,
+    rng: Optional[jax.Array] = None,
+    verbose: bool = True,
+) -> Dict[str, object]:
+    """Caption every image in a split; score against the references.
+
+    Returns {"metrics": {...bleu/cider...}, "captions_per_sec": ...,
+    "num_samples": N, "samples": [(generated, reference), ...first 10]}.
+    """
+    if rng is None:
+        rng = jax.random.key(0)
+    ds = VLDataset(data_dir, split)
+    loader = BatchLoader(
+        ds, batch_size=batch_size, tokenizer=tokenizer, shuffle=False,
+        drop_last=False, num_workers=4)
+
+    candidates, refs = [], []
+    n_done = 0
+    gen_time = 0.0
+    for batch in loader:
+        pixels_np = batch["pixel_values"]
+        real = pixels_np.shape[0]
+        if max_samples is not None and n_done + real > max_samples:
+            real = max_samples - n_done
+            pixels_np = pixels_np[:real]
+        if real == 0:
+            break
+        if pixels_np.shape[0] < batch_size:  # pad to the static decode shape
+            reps = np.repeat(pixels_np[:1], batch_size - pixels_np.shape[0], 0)
+            pixels_np = np.concatenate([pixels_np, reps], axis=0)
+
+        t0 = time.time()
+        pixels = normalize_on_device(
+            jnp.asarray(pixels_np), dtype=activation_dtype)
+        toks, lens = generate_tokens(
+            params, cfg, pixel_values=pixels,
+            rng=jax.random.fold_in(rng, n_done), gen=gen,
+            activation_dtype=activation_dtype)
+        toks, lens = np.asarray(toks), np.asarray(lens)  # fence
+        gen_time += time.time() - t0
+
+        texts = decode_captions(tokenizer, toks[:real], lens[:real])
+        candidates.extend(texts)
+        refs.extend([[c] for c in batch["captions"][:real]])
+        n_done += real
+        if verbose and (n_done // batch_size) % 10 == 0:
+            print(f"  evaluated {n_done}/{len(ds)}", flush=True)
+        if max_samples is not None and n_done >= max_samples:
+            break
+
+    metrics = evaluate_captions(candidates, refs)
+    # first-batch compile time is excluded from a steady-state rate only if
+    # there were multiple batches; report both
+    cps = n_done / gen_time if gen_time > 0 else 0.0
+    result = {
+        "metrics": metrics,
+        "captions_per_sec": cps,
+        "num_samples": n_done,
+        "generation_time_s": gen_time,
+        "samples": list(zip(candidates[:10], [r[0] for r in refs[:10]])),
+    }
+    if verbose:
+        m = metrics
+        print(f"[eval:{split}] n={n_done} bleu4={m['bleu4']:.4f} "
+              f"bleu1={m['bleu1']:.4f} cider_d={m['cider_d']:.4f} "
+              f"({cps:.2f} captions/s)")
+    return result
+
+
+def main(argv=None) -> int:
+    """`vlm-eval` CLI: batched caption evaluation over a dataset split."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="vlm-eval", description="batched caption eval (BLEU/CIDEr)")
+    ap.add_argument("--data-dir", default="data/groundcap")
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--max-length", type=int, default=50)
+    ap.add_argument("--max-samples", type=int, default=None)
+    ap.add_argument("--greedy", action="store_true", default=True)
+    ap.add_argument("--sample", dest="greedy", action="store_false",
+                    help="temperature/top-p sampling instead of greedy")
+    ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument("--top-p", type=float, default=0.9)
+    ap.add_argument("--checkpoint", default=None,
+                    help="bridge checkpoint dir/slot (e.g. ckpt/best)")
+    ap.add_argument("--hf-vision-path", default=None)
+    ap.add_argument("--hf-lm-path", default=None)
+    ap.add_argument("--tokenizer-path", default=None)
+    ap.add_argument("--preset", default="default", choices=["default", "tiny"])
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--output", default=None, help="write result JSON here")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import os
+
+        if args.platform == "cpu":
+            os.environ.setdefault("VLM_BRIDGE_DISABLE_PALLAS", "1")
+        jax.config.update("jax_platforms", args.platform)
+
+    from vlm_bridge_tpu.data.tokenizer import get_tokenizer
+    from vlm_bridge_tpu.models import full_model
+
+    cfg = VLMConfig.tiny_test() if args.preset == "tiny" else VLMConfig.default()
+    params = full_model.init(jax.random.key(0), cfg)
+    if args.hf_vision_path:
+        from vlm_bridge_tpu.params.hf_loader import load_dinov2
+        params["vision"] = load_dinov2(
+            args.hf_vision_path, cfg.vision,
+            target_grids=(cfg.image_size // cfg.vision.patch_size,))
+    if args.hf_lm_path:
+        from vlm_bridge_tpu.params.hf_loader import load_gemma2
+        params["lm"] = load_gemma2(args.hf_lm_path, cfg.lm)
+    if args.checkpoint:
+        from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
+        p = Path(args.checkpoint)
+        store = CheckpointStore(str(p.parent))
+        restored, _ = store.load(
+            p.name, template={"bridge_params": params["bridge"]})
+        params["bridge"] = restored["bridge_params"]
+
+    gen = GenerationConfig(
+        max_length=args.max_length, greedy=args.greedy,
+        temperature=args.temperature, top_p=args.top_p)
+    result = evaluate_split(
+        params, cfg, args.data_dir, tokenizer=get_tokenizer(args.tokenizer_path),
+        split=args.split, batch_size=args.batch_size, gen=gen,
+        max_samples=args.max_samples)
+    if args.output:
+        Path(args.output).write_text(json.dumps(
+            {k: v for k, v in result.items() if k != "samples"}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

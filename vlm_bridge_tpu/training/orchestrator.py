@@ -28,6 +28,7 @@ from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
 from vlm_bridge_tpu.models import full_model
 from vlm_bridge_tpu.parallel import auto_mesh, shard_batch, shard_params
 from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
+from vlm_bridge_tpu.runtime.profiling import StepProfiler
 from vlm_bridge_tpu.runtime.tb_writer import SummaryWriter
 from vlm_bridge_tpu.training.train_step import (
     TrainState, init_train_state, make_eval_step, make_schedule,
@@ -183,13 +184,16 @@ def run_training_epoch(ctx: TrainingContext, epoch: int) -> float:
     tc = ctx.tc
     total_loss, n = 0.0, 0
     t_epoch = time.time()
+    prof = StepProfiler(
+        trace_dir=tc.profile_trace_dir if epoch == 0 else None,
+        start_step=tc.profile_start_step, num_steps=tc.profile_num_steps)
     for batch_idx, batch in enumerate(ctx.train_loader):
         if tc.max_steps_per_epoch and batch_idx >= tc.max_steps_per_epoch:
             break
         dev_batch = shard_batch(ctx.mesh, batch)
         rng = jax.random.fold_in(
             jax.random.key(tc.seed + 1), int(ctx.state.step))
-        with ctx.mesh:
+        with prof.step(), ctx.mesh:
             ctx.state, metrics = ctx.train_step(
                 ctx.state, ctx.frozen, dev_batch, rng)
         step = int(ctx.state.step)
@@ -203,11 +207,14 @@ def run_training_epoch(ctx: TrainingContext, epoch: int) -> float:
             ctx.writer.add_scalar(
                 "train/grad_norm_before_clip",
                 float(metrics["grad_norm_before_clip"]), step)
+    prof.close()
     avg = total_loss / max(n, 1)
     dt = time.time() - t_epoch
     sps = n * tc.batch_size / max(dt, 1e-9)
     ctx.writer.add_scalar("epoch/train_loss", avg, epoch)
     ctx.writer.add_scalar("epoch/samples_per_sec", sps, epoch)
+    for k, v in prof.summary().items():
+        ctx.writer.add_scalar(f"perf/{k}", v, epoch)
     print(f"[Train] epoch {epoch + 1}: loss {avg:.4f} "
           f"({n} steps, {sps:.2f} samples/s)")
     return avg
