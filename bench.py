@@ -135,6 +135,9 @@ def main():
     ap.add_argument("--decode-len", type=int, default=50)
     ap.add_argument("--skip-decode", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable frozen-LM rematerialization (faster when "
+                         "activations fit in HBM)")
     args = ap.parse_args()
 
     from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig
@@ -146,6 +149,8 @@ def main():
     else:
         cfg = VLMConfig.default()
         tc = TrainingConfig(batch_size=args.batch)
+    if args.no_remat:
+        tc.remat_lm = False
 
     import jax
 

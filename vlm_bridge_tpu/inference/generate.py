@@ -155,6 +155,10 @@ def _generate_fast(
     lm_cfg, br_cfg = cfg.lm, cfg.bridge
 
     vision = vision.astype(activation_dtype)
+    # Cast the (possibly f32 master) bridge weights ONCE: casting inside the
+    # scan body would re-stream all 158M params through HBM every token.
+    params = {**params, "bridge": jax.tree.map(
+        lambda p: p.astype(activation_dtype), params["bridge"])}
     bridge_cache = _build_cross_cache(
         params["bridge"], br_cfg, vision, L, activation_dtype)
     kv_cache = gemma2.KVCache.zeros(lm_cfg, B, L, dtype=activation_dtype)
