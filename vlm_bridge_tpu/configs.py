@@ -164,6 +164,19 @@ class VLMConfig:
         return VLMConfig()
 
     @staticmethod
+    def gemma2_9b() -> "VLMConfig":
+        """Scaled variant: DINOv2-large + Gemma-2-9B (hidden 3584). Needs the
+        mesh "model" axis (tensor parallelism) — 9B bf16 weights do not
+        replicate comfortably on 16GB chips. Bridge head counts keep the
+        reference's per-head dims (cross 8 heads; self 128-dim heads)."""
+        lm = Gemma2Config.gemma2_9b()
+        bridge = BridgeConfig(
+            vision_dim=1024, language_dim=lm.hidden_size,
+            num_heads_cross=8, num_heads_self=28,
+        )
+        return VLMConfig(lm=lm, bridge=bridge)
+
+    @staticmethod
     def tiny_test() -> "VLMConfig":
         vision = DinoV2Config.tiny_test()
         lm = Gemma2Config.tiny_test()
@@ -232,6 +245,7 @@ class TrainingConfig:
     profile_trace_dir: Optional[str] = None      # capture a jax.profiler trace here
     profile_start_step: int = 10                 # trace window start (epoch-local)
     profile_num_steps: int = 5                   # trace window length
+    validation_strategy_sweep: bool = True       # robust sweep on 1st val sample
 
     # ------------------------------------------------------------------
     @classmethod
@@ -272,4 +286,8 @@ class TrainingConfig:
     def model_config(self) -> VLMConfig:
         if self.model_preset == "tiny_test":
             return VLMConfig.tiny_test()
+        if self.model_preset == "gemma2_9b":
+            return VLMConfig.gemma2_9b()
+        if self.model_preset != "default":
+            raise ValueError(f"unknown model_preset: {self.model_preset}")
         return VLMConfig.default()

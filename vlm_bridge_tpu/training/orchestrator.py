@@ -303,13 +303,15 @@ def generate_validation_samples(ctx: TrainingContext, epoch: int) -> None:
         gen=GenerationConfig(max_length=50, temperature=0.7, top_p=0.9),
         activation_dtype=ctx.activation_dtype)
     toks = np.asarray(toks)
-    bleus, lens = [], []
+    bleus, lens, all_words = [], [], []
     for i in range(k):
         text = ctx.tokenizer.decode(toks[i].tolist())
         ref_caption = batch["captions"][i]
         bleu = simple_bleu4(text, ref_caption)
         bleus.append(bleu)
-        lens.append(len(text.split()))
+        words = text.split()
+        lens.append(len(words))
+        all_words.extend(words)
         ctx.writer.add_text(
             f"val/sample_{i}",
             f"**generated:** {text}\n\n**reference:** {ref_caption}\n\n"
@@ -317,6 +319,23 @@ def generate_validation_samples(ctx: TrainingContext, epoch: int) -> None:
     if bleus:
         ctx.writer.add_scalar("val/sample_bleu_avg", float(np.mean(bleus)), epoch)
         ctx.writer.add_scalar("val/sample_length_avg", float(np.mean(lens)), epoch)
+        ctx.writer.add_scalar(
+            "val/sample_diversity",
+            len(set(all_words)) / max(len(all_words), 1), epoch)
+
+    # robust strategy sweep on the first sample (reference runs primary +
+    # fallback strategies per epoch, core_training_loop.py:295-319)
+    if tc.validation_strategy_sweep and k > 0:
+        from vlm_bridge_tpu.inference.robust import generate_caption_robust
+
+        sweep = generate_caption_robust(
+            params, ctx.cfg, pixels[:1], ctx.tokenizer,
+            rng=jax.random.key(epoch + 1), max_length=50)
+        body = "\n\n".join(
+            f"**{name}:** {cap}" for name, cap in sweep["results"].items())
+        ctx.writer.add_text(
+            "val/strategy_sweep",
+            body + f"\n\n**chosen:** {sweep['chosen']}", epoch)
 
 
 # ---------------------------------------------------------------------------
