@@ -175,3 +175,30 @@ def test_text_mask_blocks_pad_influence(cfg):
                           text_mask=mask)
     np.testing.assert_allclose(
         np.asarray(out1[:, :4]), np.asarray(out2[:, :4]), atol=1e-5)
+
+
+def test_debug_forward_stats(cfg):
+    import jax
+    import jax.numpy as jnp
+    from vlm_bridge_tpu.models.bridge import debug_forward, forward, has_anomaly
+
+    params = bridge.init(jax.random.key(0), cfg)
+    B, T, S = 2, 6, 5
+    text = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (B, T, cfg.language_dim)),
+        jnp.float32)
+    vision = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (B, S, cfg.vision_dim)),
+        jnp.float32)
+    out, stats = debug_forward(params, cfg, text, vision)
+    # debug forward output == plain eval forward
+    ref = forward(params, cfg, text, vision)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert set(stats) == {f"block_{b}" for b in range(cfg.num_blocks)}
+    s0 = stats["block_0"]
+    assert set(s0) == {"input", "after_cross", "after_self", "after_ffn"}
+    assert not has_anomaly(stats)
+
+    bad = jax.tree.map(lambda p: jnp.full_like(p, jnp.nan), params)
+    _, bad_stats = debug_forward(bad, cfg, text, vision)
+    assert has_anomaly(bad_stats)

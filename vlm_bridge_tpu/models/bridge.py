@@ -15,8 +15,11 @@ Init matches the reference: Xavier-uniform weights, zero biases, LN ones/zeros
 (bridge_module.py:394-404).
 
 Dropout is supported for training (`rng` + `train=True`); evaluation is
-deterministic. Dropout sites match torch: attention probs (inside SDPA),
-FFN post-GELU, and FFN output (bridge_module.py:291-297).
+deterministic. Sites: each attention OUTPUT and the FFN post-GELU/output
+(reference sites: SDPA attention probs + FFN, bridge_module.py:137, 291-297
+— prob-dropout is incompatible with flash kernels that never materialize
+the probability matrix, so attention dropout is applied to the attention
+output instead; same expected scale, standard flash-attention substitute).
 """
 
 from __future__ import annotations
@@ -125,15 +128,17 @@ def forward(
     for b in range(cfg.num_blocks):
         bp = params["blocks"][str(b)]
         rngs = (
-            jax.random.split(jax.random.fold_in(rng, b), 2)
-            if (train and rng is not None) else (None, None)
+            jax.random.split(jax.random.fold_in(rng, b), 4)
+            if (train and rng is not None) else (None,) * 4
         )
 
         h = layer_norm(x, bp["ln_cross"]["scale"], bp["ln_cross"]["bias"], eps)
-        x = x + _mha(bp["cross"], h, vision, cfg.num_heads_cross, dtype)
+        h = _mha(bp["cross"], h, vision, cfg.num_heads_cross, dtype)
+        x = x + _dropout(h, cfg.dropout, rngs[2], train)
 
         h = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"], eps)
-        x = x + _mha(bp["self"], h, h, cfg.num_heads_self, dtype, key_mask=text_mask)
+        h = _mha(bp["self"], h, h, cfg.num_heads_self, dtype, key_mask=text_mask)
+        x = x + _dropout(h, cfg.dropout, rngs[3], train)
 
         h = layer_norm(x, bp["ln_ffn"]["scale"], bp["ln_ffn"]["bias"], eps)
         h = linear(h, bp["ffn"]["fc1"].astype(dtype), bp["ffn"]["fc1_bias"].astype(dtype))
@@ -144,3 +149,70 @@ def forward(
         x = x + h
 
     return x
+
+
+def debug_forward(
+    params: dict,
+    cfg: BridgeConfig,
+    text_embeddings: jax.Array,
+    vision_features: jax.Array,
+    *,
+    text_mask: Optional[jax.Array] = None,
+):
+    """Deterministic forward that also returns per-block activation stats.
+
+    TPU-native equivalent of the reference's debug mode (per-block mean/std
+    prints + NaN/Inf checks, bridge_module.py:427-455): stats are reduced on
+    device and returned as a pytree of scalars instead of printed mid-forward
+    (printing inside jit is a trace-time no-op).
+
+    Returns (output, stats) where stats["block_{b}"] has input/cross/self/ffn
+    mean, std, abs-max, and nan/inf counts.
+    """
+    dtype = text_embeddings.dtype
+    x = text_embeddings
+    vision = vision_features.astype(dtype)
+    eps = cfg.layer_norm_eps
+    stats = {}
+
+    def _stat(t):
+        f = t.astype(jnp.float32)
+        return {
+            "mean": f.mean(), "std": f.std(),
+            "abs_max": jnp.abs(f).max(),
+            "nan_count": jnp.isnan(f).sum(),
+            "inf_count": jnp.isinf(f).sum(),
+        }
+
+    for b in range(cfg.num_blocks):
+        bp = params["blocks"][str(b)]
+        s = {"input": _stat(x)}
+        h = layer_norm(x, bp["ln_cross"]["scale"], bp["ln_cross"]["bias"], eps)
+        x = x + _mha(bp["cross"], h, vision, cfg.num_heads_cross, dtype)
+        s["after_cross"] = _stat(x)
+        h = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"], eps)
+        x = x + _mha(bp["self"], h, h, cfg.num_heads_self, dtype,
+                     key_mask=text_mask)
+        s["after_self"] = _stat(x)
+        h = layer_norm(x, bp["ln_ffn"]["scale"], bp["ln_ffn"]["bias"], eps)
+        h = linear(h, bp["ffn"]["fc1"].astype(dtype), bp["ffn"]["fc1_bias"].astype(dtype))
+        h = gelu_exact(h)
+        h = linear(h, bp["ffn"]["fc2"].astype(dtype), bp["ffn"]["fc2_bias"].astype(dtype))
+        x = x + h
+        s["after_ffn"] = _stat(x)
+        stats[f"block_{b}"] = s
+
+    return x, stats
+
+
+def has_anomaly(stats: dict) -> bool:
+    """True if any debug stat shows NaN/Inf (host-side helper)."""
+    import numpy as np
+
+    for s in jax.tree.leaves({k: {kk: {"nan_count": vv["nan_count"],
+                                       "inf_count": vv["inf_count"]}
+                                  for kk, vv in v.items()}
+                              for k, v in stats.items()}):
+        if int(np.asarray(s)) > 0:
+            return True
+    return False
