@@ -89,7 +89,7 @@ def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
     }
 
 
-def bench_decode(cfg, batch_size, max_length, reps=3):
+def bench_decode(cfg, batch_size, max_length, reps=3, quantize=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,6 +100,10 @@ def bench_decode(cfg, batch_size, max_length, reps=3):
 
     n_chips = len(jax.devices())
     params = full_model.init(jax.random.key(0), cfg)
+    if quantize:
+        from vlm_bridge_tpu.models import gemma2
+
+        params["lm"] = gemma2.quantize_params(params["lm"])
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(
         rng.normal(0, 1, (batch_size, cfg.image_size, cfg.image_size, 3)),
@@ -138,6 +142,8 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="disable frozen-LM rematerialization (faster when "
                          "activations fit in HBM)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 weight-only quantized LM for the decode bench")
     args = ap.parse_args()
 
     from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig
@@ -165,7 +171,8 @@ def main():
     if not args.skip_train:
         extras.update(bench_train(cfg, tc, args.batch, args.seq, args.steps))
     if not args.skip_decode:
-        extras.update(bench_decode(cfg, args.decode_batch, args.decode_len))
+        extras.update(bench_decode(cfg, args.decode_batch, args.decode_len,
+                                   quantize=args.quantize))
         extras["decode_vs_baseline"] = (
             extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)
 

@@ -112,3 +112,34 @@ def test_pixel_input_path(setup):
         gen=GenerationConfig(max_length=3, greedy=True),
         activation_dtype=jnp.float32)
     assert np.asarray(toks).shape == (1, 4)
+
+
+def test_early_stop_matches_scan(setup):
+    """while_loop early-exit mode must produce identical tokens/lengths to
+    the fixed-length scan (it only skips provably-dead tail steps)."""
+    cfg, params, vision = setup
+    N = 8
+    a, la = generate_tokens(
+        params, cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=N, greedy=True),
+        activation_dtype=jnp.float32)
+    b, lb = generate_tokens(
+        params, cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=N, greedy=True, early_stop=True),
+        activation_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_early_stop_with_sampling(setup):
+    cfg, params, vision = setup
+    g = dict(max_length=6, temperature=0.9, top_p=0.9)
+    a, _ = generate_tokens(params, cfg, vision_features=vision,
+                           rng=jax.random.key(5),
+                           gen=GenerationConfig(**g),
+                           activation_dtype=jnp.float32)
+    b, _ = generate_tokens(params, cfg, vision_features=vision,
+                           rng=jax.random.key(5),
+                           gen=GenerationConfig(**g, early_stop=True),
+                           activation_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,121 @@
+"""Int8 weight-only quantization tests: kernels (interpret mode), fallback
+parity, quantized Gemma-2 forward/decode accuracy (SURVEY has no reference
+analogue — this is the serving-path optimization on top of parity)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vlm_bridge_tpu.configs import Gemma2Config, VLMConfig
+from vlm_bridge_tpu.models import full_model, gemma2
+from vlm_bridge_tpu.ops import quant
+from vlm_bridge_tpu.ops.quant import (
+    dequantize, int8_matmul, int8_matmul_t, quantize_int8)
+
+
+def test_quantize_roundtrip_error():
+    w = np.random.default_rng(0).normal(0, 0.04, (96, 160)).astype(np.float32)
+    wq = quantize_int8(jnp.asarray(w), axis=0)
+    assert wq["w_int8"].dtype == jnp.int8
+    assert wq["scale"].shape == (160,)
+    back = np.asarray(dequantize(wq, axis=0))
+    # symmetric 127-level rounding: error <= scale/2 per element
+    bound = np.asarray(wq["scale"])[None, :] * 0.5 + 1e-8
+    assert (np.abs(back - w) <= bound).all()
+
+
+def test_int8_matmul_fallback_matches_dequant():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (5, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (96, 160)), jnp.float32)
+    wq = quantize_int8(w, axis=0)
+    got = np.asarray(int8_matmul(x, wq))
+    want = np.asarray(x @ dequantize(wq, axis=0))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_int8_matmul_kernel_interpret():
+    quant.INTERPRET = True
+    try:
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 1, (5, 200)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.05, (200, 300)), jnp.float32)
+        wq = quantize_int8(w, axis=0)
+        got = np.asarray(int8_matmul(x, wq, block_i=64, block_o=128))
+        want = np.asarray(x @ dequantize(wq, axis=0))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    finally:
+        quant.INTERPRET = False
+
+
+def test_int8_matmul_t_kernel_interpret():
+    quant.INTERPRET = True
+    try:
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(0, 1, (4, 72)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.05, (500, 72)), jnp.float32)
+        wq = quantize_int8(w, axis=1)
+        got = np.asarray(int8_matmul_t(x, wq, block_v=128))
+        want = np.asarray(
+            x @ dequantize(wq, axis=1).T)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    finally:
+        quant.INTERPRET = False
+
+
+@pytest.fixture(scope="module")
+def lm_pair():
+    cfg = Gemma2Config.tiny_test()
+    params = gemma2.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    return cfg, params, gemma2.quantize_params(params)
+
+
+def test_quantized_embed_lookup(lm_pair):
+    cfg, params, qparams = lm_pair
+    ids = jnp.asarray([[1, 5, 100], [7, 0, 3]], jnp.int32)
+    full = np.asarray(gemma2.embed(params, ids))
+    q = np.asarray(gemma2.embed(qparams, ids)).astype(np.float32)
+    # bf16 rows * bf16 scales: tolerance dominated by bf16, then int8
+    np.testing.assert_allclose(q, full, atol=3e-3, rtol=3e-2)
+
+
+def test_quantized_forward_close(lm_pair):
+    cfg, params, qparams = lm_pair
+    B, T = 2, 12
+    ids = jnp.asarray(
+        np.random.default_rng(4).integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    full = np.asarray(gemma2.forward(params, cfg, input_ids=ids, attn_mask=mask))
+    q = np.asarray(gemma2.forward(qparams, cfg, input_ids=ids, attn_mask=mask))
+    # logits live in ~[-30, 30] (softcap); int8 weight error shifts them a
+    # little but the distribution must stay aligned
+    assert np.abs(q - full).mean() < 0.15
+    top_full = full.argmax(-1)
+    top_q = q.argmax(-1)
+    assert (top_full == top_q).mean() > 0.8
+
+
+def test_quantized_generation_runs(lm_pair):
+    """End-to-end fast decode with a quantized LM (bridge/vision stay bf16)."""
+    from vlm_bridge_tpu.inference.generate import (
+        GenerationConfig, generate_tokens)
+
+    cfg = VLMConfig.tiny_test()
+    params = full_model.init(jax.random.key(0), cfg, frozen_dtype=jnp.float32)
+    qparams = dict(params)
+    qparams["lm"] = gemma2.quantize_params(params["lm"])
+    vision = full_model.encode_image(params, cfg, jnp.zeros(
+        (1, cfg.image_size, cfg.image_size, 3), jnp.float32))
+    toks_q, _ = generate_tokens(
+        params=qparams, cfg=cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=6, greedy=True),
+        activation_dtype=jnp.float32)
+    toks_f, _ = generate_tokens(
+        params=params, cfg=cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=6, greedy=True),
+        activation_dtype=jnp.float32)
+    toks_q, toks_f = np.asarray(toks_q), np.asarray(toks_f)
+    assert toks_q.shape == toks_f.shape
+    # greedy streams usually agree on the first token at least
+    assert toks_q[0, 0] == toks_f[0, 0] == cfg.lm.bos_token_id

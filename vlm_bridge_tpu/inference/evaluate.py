@@ -136,6 +136,8 @@ def main(argv=None) -> int:
     ap.add_argument("--tokenizer-path", default=None)
     ap.add_argument("--preset", default="default", choices=["default", "tiny"])
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 weight-only quantized LM (faster batched decode)")
     ap.add_argument("--output", default=None, help="write result JSON here")
     args = ap.parse_args(argv)
 
@@ -166,10 +168,13 @@ def main(argv=None) -> int:
         restored, _ = store.load(
             p.name, template={"bridge_params": params["bridge"]})
         params["bridge"] = restored["bridge_params"]
+    if args.quantize:
+        from vlm_bridge_tpu.models import gemma2
+        params["lm"] = gemma2.quantize_params(params["lm"])
 
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
-        temperature=args.temperature, top_p=args.top_p)
+        temperature=args.temperature, top_p=args.top_p, early_stop=True)
     result = evaluate_split(
         params, cfg, args.data_dir, tokenizer=get_tokenizer(args.tokenizer_path),
         split=args.split, batch_size=args.batch_size, gen=gen,

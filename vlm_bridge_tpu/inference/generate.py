@@ -52,6 +52,9 @@ class GenerationConfig:
                                   # skipping the bridge (functional equivalent
                                   # of the reference's forward monkey-patch,
                                   # debug_generation.py:274-325)
+    early_stop: bool = False      # fast mode: while_loop that exits once all
+                                  # rows hit EOS (vs fixed-length scan); wins
+                                  # with real weights where captions end early
 
 
 # ---------------------------------------------------------------------------
@@ -188,9 +191,28 @@ def _generate_fast(
         return (nxt, done, bridge_cache, kv_cache), nxt
 
     init = (bos, jnp.zeros((B,), bool), bridge_cache, kv_cache)
-    (_, done, _, _), toks = jax.lax.scan(
-        step, init, jnp.arange(gen.max_length))
-    toks = jnp.moveaxis(toks, 0, 1)  # [B, max_length]
+    if gen.early_stop:
+        # while_loop variant: stop as soon as EVERY sequence has emitted EOS.
+        # Real captions average well under max_length, so serving skips the
+        # tail steps entirely (a scan always runs all max_length iterations).
+        toks_buf = jnp.full((B, gen.max_length), lm_cfg.pad_token_id, jnp.int32)
+
+        def cond(state):
+            t, carry, _ = state
+            return (t < gen.max_length) & ~jnp.all(carry[1])
+
+        def body(state):
+            t, carry, buf = state
+            carry, nxt = step(carry, t)
+            buf = jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, t))
+            return t + 1, carry, buf
+
+        _, (_, done, _, _), toks = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), init, toks_buf))
+    else:
+        (_, done, _, _), toks = jax.lax.scan(
+            step, init, jnp.arange(gen.max_length))
+        toks = jnp.moveaxis(toks, 0, 1)  # [B, max_length]
     tokens = jnp.concatenate([bos[:, None], toks], axis=1)
     lengths = jnp.sum(
         jnp.cumsum(

@@ -84,8 +84,16 @@ def init(rng: jax.Array, cfg: Gemma2Config, dtype=jnp.bfloat16) -> dict:
 
 def embed(params: dict, input_ids: jax.Array) -> jax.Array:
     """Raw (un-normalized) embedding lookup — this is what the bridge consumes
-    (reference LanguageModel.get_embeddings, language_model.py:146-164)."""
-    return jnp.take(params["embedding"], input_ids, axis=0)
+    (reference LanguageModel.get_embeddings, language_model.py:146-164).
+
+    With an int8-quantized embedding ({"w_int8", "scale"} per vocab row),
+    only the gathered rows are dequantized."""
+    E = params["embedding"]
+    if isinstance(E, dict):
+        rows = jnp.take(E["w_int8"], input_ids, axis=0).astype(jnp.bfloat16)
+        scales = jnp.take(E["scale"], input_ids, axis=0).astype(jnp.bfloat16)
+        return rows * scales[..., None]
+    return jnp.take(E, input_ids, axis=0)
 
 
 def _attention_block(
@@ -183,10 +191,17 @@ def forward_hidden(
 
 def logits_from_hidden(params: dict, cfg: Gemma2Config, hidden: jax.Array) -> jax.Array:
     """Tied lm_head + final softcap, f32 output."""
-    logits = jnp.einsum(
-        "bth,vh->btv", hidden, params["embedding"],
-        preferred_element_type=jnp.float32,
-    )
+    E = params["embedding"]
+    if isinstance(E, dict):
+        from vlm_bridge_tpu.ops.quant import int8_matmul_t
+
+        B, T, H = hidden.shape
+        logits = int8_matmul_t(hidden.reshape(B * T, H), E)
+        logits = logits.reshape(B, T, -1)
+    else:
+        logits = jnp.einsum(
+            "bth,vh->btv", hidden, E, preferred_element_type=jnp.float32,
+        )
     if cfg.final_logit_softcap is not None:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits
@@ -210,6 +225,36 @@ def forward(
     hidden = forward_hidden(params, cfg, inputs_embeds,
                             attn_mask=attn_mask, remat=remat)
     return logits_from_hidden(params, cfg, hidden)
+
+
+def quantize_params(params: dict) -> dict:
+    """Int8 weight-only quantization of the frozen decoder for serving.
+
+    Per-output-channel for every projection, per-vocab-row for the (tied)
+    embedding/lm_head; norms stay in their original dtype. The result plugs
+    into every forward/prefill/decode path transparently (ops/layers.linear,
+    embed, logits_from_hidden dispatch on the dict form). Halves the HBM
+    weight traffic that bounds batched decode.
+    """
+    from vlm_bridge_tpu.ops.quant import quantize_int8
+
+    out = {
+        "embedding": quantize_int8(params["embedding"], axis=1),
+        "final_norm": params["final_norm"],
+        "layers": {},
+    }
+    for name, lp in params["layers"].items():
+        out["layers"][name] = {
+            "input_norm": lp["input_norm"],
+            "post_attn_norm": lp["post_attn_norm"],
+            "pre_ffn_norm": lp["pre_ffn_norm"],
+            "post_ffn_norm": lp["post_ffn_norm"],
+            "attn": {k: quantize_int8(v, axis=0)
+                     for k, v in lp["attn"].items()},
+            "mlp": {k: quantize_int8(v, axis=0)
+                    for k, v in lp["mlp"].items()},
+        }
+    return out
 
 
 # ---------------------------------------------------------------------------

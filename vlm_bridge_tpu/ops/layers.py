@@ -13,10 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
-def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     """y = x @ w (+ b). Weights are stored [in, out] (JAX convention; torch
-    checkpoints are transposed at conversion time)."""
-    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    checkpoints are transposed at conversion time).
+
+    w may be an int8 weight-only quantization dict ({"w_int8", "scale"},
+    per-output-channel — see ops/quant.py); the whole model then runs
+    quantized transparently."""
+    if isinstance(w, dict):
+        from vlm_bridge_tpu.ops.quant import int8_matmul
+
+        lead = x.shape[:-1]
+        y = int8_matmul(x.reshape(-1, x.shape[-1]), w)
+        y = y.reshape(*lead, y.shape[-1])
+    else:
+        y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
