@@ -89,7 +89,7 @@ def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
     }
 
 
-def bench_decode(cfg, batch_size, max_length, reps=3, quantize=False):
+def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -103,7 +103,8 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=False):
     if quantize:
         from vlm_bridge_tpu.models import gemma2
 
-        params["lm"] = gemma2.quantize_params(params["lm"])
+        params["lm"] = gemma2.quantize_params(
+            params["lm"], parts=tuple(quantize.split(",")))
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(
         rng.normal(0, 1, (batch_size, cfg.image_size, cfg.image_size, 3)),
@@ -142,8 +143,9 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="disable frozen-LM rematerialization (faster when "
                          "activations fit in HBM)")
-    ap.add_argument("--quantize", action="store_true",
-                    help="int8 weight-only quantized LM for the decode bench")
+    ap.add_argument("--quantize", default=None,
+                    help="int8-quantize LM weight groups for the decode "
+                         "bench: comma list of embedding,mlp,attn")
     args = ap.parse_args()
 
     from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig

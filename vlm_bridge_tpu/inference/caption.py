@@ -1,0 +1,165 @@
+"""`vlm-caption` CLI: caption arbitrary images (file / directory / glob).
+
+The practical serving surface: batched KV-cache decode over ad-hoc images,
+JSONL or console output. The reference's closest path is running
+`debug_generation.py` one image at a time with full no-cache re-forwards
+(reference: debug_generation.py:328-386, full_model.py:191-386).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def collect_images(spec: str) -> List[Path]:
+    import glob as _glob
+
+    p = Path(spec)
+    if p.is_dir():
+        return sorted(q for q in p.rglob("*") if q.suffix.lower() in IMAGE_EXTS)
+    if p.exists():
+        return [p]
+    matches = sorted(Path(m) for m in _glob.glob(spec, recursive=True))
+    return [m for m in matches if m.suffix.lower() in IMAGE_EXTS]
+
+
+def caption_images(
+    params, cfg, tokenizer, image_paths: List[Path], *,
+    batch_size: int = 32, gen=None, activation_dtype=jnp.bfloat16,
+    rng=None,
+) -> List[dict]:
+    """Caption a list of image files; returns [{"image", "caption"}...]."""
+    from PIL import Image
+
+    from vlm_bridge_tpu.data.preprocess import host_resize_crop, normalize_on_device
+    from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
+    from vlm_bridge_tpu.inference.robust import decode_captions
+
+    if gen is None:
+        gen = GenerationConfig(max_length=50, greedy=True, early_stop=True)
+    if rng is None:
+        rng = jax.random.key(0)
+
+    results = []
+    for start in range(0, len(image_paths), batch_size):
+        chunk = image_paths[start: start + batch_size]
+        arrs = []
+        crop = cfg.image_size
+        edge = max(crop, round(crop * 256 / 224))  # keep the 224->256 ratio
+        for path in chunk:
+            with Image.open(path) as img:
+                arrs.append(host_resize_crop(img.convert("RGB"),
+                                             crop=crop, edge=edge))
+        pixels_np = np.stack(arrs)
+        real = pixels_np.shape[0]
+        if real < batch_size:  # pad to the static decode shape
+            pixels_np = np.concatenate(
+                [pixels_np, np.repeat(pixels_np[:1], batch_size - real, 0)], 0)
+        pixels = normalize_on_device(
+            jnp.asarray(pixels_np), dtype=activation_dtype)
+        toks, lens = generate_tokens(
+            params, cfg, pixel_values=pixels,
+            rng=jax.random.fold_in(rng, start), gen=gen,
+            activation_dtype=activation_dtype)
+        texts = decode_captions(tokenizer, np.asarray(toks)[:real],
+                                np.asarray(lens)[:real])
+        results.extend(
+            {"image": str(p), "caption": t} for p, t in zip(chunk, texts))
+    return results
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="vlm-caption", description="caption images (file/dir/glob)")
+    ap.add_argument("images", help="image file, directory, or glob")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--max-length", type=int, default=50)
+    ap.add_argument("--greedy", action="store_true", default=True)
+    ap.add_argument("--sample", dest="greedy", action="store_false")
+    ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument("--top-p", type=float, default=0.9)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--hf-vision-path", default=None)
+    ap.add_argument("--hf-lm-path", default=None)
+    ap.add_argument("--tokenizer-path", default=None)
+    ap.add_argument("--preset", default="default", choices=["default", "tiny"])
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--quantize", default=None,
+                    help="int8 LM weight groups: comma list of embedding,mlp,attn")
+    ap.add_argument("--output", default=None, help="write JSONL here (else stdout)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import os
+
+        if args.platform == "cpu":
+            os.environ.setdefault("VLM_BRIDGE_DISABLE_PALLAS", "1")
+        jax.config.update("jax_platforms", args.platform)
+
+    paths = collect_images(args.images)
+    if not paths:
+        print(f"no images found for {args.images!r}", file=sys.stderr)
+        return 1
+
+    from vlm_bridge_tpu.configs import VLMConfig
+    from vlm_bridge_tpu.data.tokenizer import get_tokenizer
+    from vlm_bridge_tpu.inference.generate import GenerationConfig
+    from vlm_bridge_tpu.models import full_model
+
+    cfg = VLMConfig.tiny_test() if args.preset == "tiny" else VLMConfig.default()
+    params = full_model.init(jax.random.key(0), cfg)
+    if args.hf_vision_path:
+        from vlm_bridge_tpu.params.hf_loader import load_dinov2
+        params["vision"] = load_dinov2(
+            args.hf_vision_path, cfg.vision,
+            target_grids=(cfg.image_size // cfg.vision.patch_size,))
+    if args.hf_lm_path:
+        from vlm_bridge_tpu.params.hf_loader import load_gemma2
+        params["lm"] = load_gemma2(args.hf_lm_path, cfg.lm)
+    if args.checkpoint:
+        from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
+        p = Path(args.checkpoint)
+        store = CheckpointStore(str(p.parent))
+        restored, _ = store.load(
+            p.name, template={"bridge_params": params["bridge"]})
+        params["bridge"] = restored["bridge_params"]
+    if args.quantize:
+        from vlm_bridge_tpu.models import gemma2
+        params["lm"] = gemma2.quantize_params(
+            params["lm"], parts=tuple(args.quantize.split(",")))
+
+    gen = GenerationConfig(
+        max_length=args.max_length, greedy=args.greedy,
+        temperature=args.temperature, top_p=args.top_p, early_stop=True)
+    t0 = time.time()
+    results = caption_images(
+        params, cfg, get_tokenizer(args.tokenizer_path), paths,
+        batch_size=min(args.batch_size, len(paths)), gen=gen)
+    dt = time.time() - t0
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for r in results:
+            out.write(json.dumps(r) + "\n")
+    finally:
+        if args.output:
+            out.close()
+            print(f"{len(results)} captions -> {args.output} "
+                  f"({len(results) / dt:.2f} captions/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

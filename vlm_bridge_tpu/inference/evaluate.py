@@ -136,8 +136,9 @@ def main(argv=None) -> int:
     ap.add_argument("--tokenizer-path", default=None)
     ap.add_argument("--preset", default="default", choices=["default", "tiny"])
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
-    ap.add_argument("--quantize", action="store_true",
-                    help="int8 weight-only quantized LM (faster batched decode)")
+    ap.add_argument("--quantize", default=None,
+                    help="int8-quantize LM weight groups (comma list of "
+                         "embedding,mlp,attn) for faster batched decode")
     ap.add_argument("--output", default=None, help="write result JSON here")
     args = ap.parse_args(argv)
 
@@ -170,7 +171,8 @@ def main(argv=None) -> int:
         params["bridge"] = restored["bridge_params"]
     if args.quantize:
         from vlm_bridge_tpu.models import gemma2
-        params["lm"] = gemma2.quantize_params(params["lm"])
+        params["lm"] = gemma2.quantize_params(
+            params["lm"], parts=tuple(args.quantize.split(",")))
 
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,

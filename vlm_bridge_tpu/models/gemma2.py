@@ -131,6 +131,14 @@ def _attention_block(
 
 
 def _mlp_block(lp: dict, x: jax.Array) -> jax.Array:
+    if isinstance(lp["mlp"]["gate"], dict):
+        # int8-quantized: one fused Pallas kernel (gate+up+GELU+down)
+        from vlm_bridge_tpu.ops.quant import int8_mlp
+
+        lead = x.shape[:-1]
+        y = int8_mlp(x.reshape(-1, x.shape[-1]),
+                     lp["mlp"]["gate"], lp["mlp"]["up"], lp["mlp"]["down"])
+        return y.reshape(*lead, y.shape[-1])
     gate = gelu_tanh(linear(x, lp["mlp"]["gate"]))
     up = linear(x, lp["mlp"]["up"])
     return linear(gate * up, lp["mlp"]["down"])
@@ -227,19 +235,27 @@ def forward(
     return logits_from_hidden(params, cfg, hidden)
 
 
-def quantize_params(params: dict) -> dict:
+def quantize_params(
+    params: dict, parts: Tuple[str, ...] = ("embedding", "mlp", "attn"),
+) -> dict:
     """Int8 weight-only quantization of the frozen decoder for serving.
 
     Per-output-channel for every projection, per-vocab-row for the (tied)
     embedding/lm_head; norms stay in their original dtype. The result plugs
     into every forward/prefill/decode path transparently (ops/layers.linear,
-    embed, logits_from_hidden dispatch on the dict form). Halves the HBM
-    weight traffic that bounds batched decode.
+    embed, logits_from_hidden, _mlp_block dispatch on the dict form).
+    Halves the quantized parts' HBM footprint and weight traffic.
+
+    parts: which weight groups to quantize — "embedding" (tied lm_head,
+    590M params), "mlp" (26x 63.7M, served by the fused int8_mlp kernel),
+    "attn" (26x 18.9M; many small kernels — leave bf16 if launch overhead
+    outweighs the byte savings on your batch size).
     """
     from vlm_bridge_tpu.ops.quant import quantize_int8
 
     out = {
-        "embedding": quantize_int8(params["embedding"], axis=1),
+        "embedding": (quantize_int8(params["embedding"], axis=1)
+                      if "embedding" in parts else params["embedding"]),
         "final_norm": params["final_norm"],
         "layers": {},
     }
@@ -249,10 +265,12 @@ def quantize_params(params: dict) -> dict:
             "post_attn_norm": lp["post_attn_norm"],
             "pre_ffn_norm": lp["pre_ffn_norm"],
             "post_ffn_norm": lp["post_ffn_norm"],
-            "attn": {k: quantize_int8(v, axis=0)
-                     for k, v in lp["attn"].items()},
-            "mlp": {k: quantize_int8(v, axis=0)
-                    for k, v in lp["mlp"].items()},
+            "attn": ({k: quantize_int8(v, axis=0)
+                      for k, v in lp["attn"].items()}
+                     if "attn" in parts else lp["attn"]),
+            "mlp": ({k: quantize_int8(v, axis=0)
+                     for k, v in lp["mlp"].items()}
+                    if "mlp" in parts else lp["mlp"]),
         }
     return out
 
