@@ -125,3 +125,37 @@ def test_host_resize_crop_geometry():
         img = Image.fromarray(np.zeros((h, w, 3), np.uint8))
         out = host_resize_crop(img)
         assert out.shape == (224, 224, 3)
+
+
+def test_loader_thread_stress(tmp_path):
+    """Producer/consumer stress: many epochs with a prefetch queue, plus
+    early-abandoned iterations, must neither deadlock nor drop batches."""
+    from vlm_bridge_tpu.data.groundcap import make_synthetic_dataset
+    from vlm_bridge_tpu.data.loader import BatchLoader, VLDataset
+
+    make_synthetic_dataset(tmp_path, num_samples=20, image_size=32, seed=1)
+    loader = BatchLoader(
+        VLDataset(tmp_path, "train"), batch_size=2, shuffle=True,
+        num_workers=3, prefetch=2)
+    n_expected = len(loader)
+    for epoch in range(5):
+        batches = list(loader)
+        assert len(batches) == n_expected
+        assert all(b["pixel_values"].shape[0] == 2 for b in batches)
+    # abandon mid-iteration (exercises the drain/stop path)
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        del it
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    from vlm_bridge_tpu.data.groundcap import make_synthetic_dataset
+    from vlm_bridge_tpu.data.loader import BatchLoader, VLDataset
+
+    make_synthetic_dataset(tmp_path, num_samples=10, image_size=32, seed=2)
+    ds = VLDataset(tmp_path, "train")
+    ds.samples[3]["image_path"] = "images/does-not-exist.jpg"
+    loader = BatchLoader(ds, batch_size=2, num_workers=2)
+    with pytest.raises(FileNotFoundError):
+        list(loader)

@@ -96,6 +96,22 @@ def embed(params: dict, input_ids: jax.Array) -> jax.Array:
     return jnp.take(E, input_ids, axis=0)
 
 
+def _qkv_proj(attn: dict, x: jax.Array, cfg: Gemma2Config):
+    """Project to (q, k, v) heads. Quantized params may carry a FUSED "qkv"
+    weight (one int8 kernel launch instead of three — launch overhead rivals
+    matmul time at decode batch sizes)."""
+    B, T = x.shape[0], x.shape[1]
+    H, D, KH = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
+    if "qkv" in attn:
+        y = linear(x, attn["qkv"])
+        q, k, v = jnp.split(y, [H * D, (H + KH) * D], axis=-1)
+    else:
+        q, k, v = (linear(x, attn["q"]), linear(x, attn["k"]),
+                   linear(x, attn["v"]))
+    return (q.reshape(B, T, H, D), k.reshape(B, T, KH, D),
+            v.reshape(B, T, KH, D))
+
+
 def _attention_block(
     lp: dict,
     cfg: Gemma2Config,
@@ -108,11 +124,9 @@ def _attention_block(
     positions: jax.Array,
 ) -> jax.Array:
     B, T, H = x.shape[0], x.shape[1], cfg.num_heads
-    D, KH = cfg.head_dim, cfg.num_kv_heads
+    D = cfg.head_dim
 
-    q = linear(x, lp["attn"]["q"]).reshape(B, T, H, D)
-    k = linear(x, lp["attn"]["k"]).reshape(B, T, KH, D)
-    v = linear(x, lp["attn"]["v"]).reshape(B, T, KH, D)
+    q, k, v = _qkv_proj(lp["attn"], x, cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -265,8 +279,12 @@ def quantize_params(
             "post_attn_norm": lp["post_attn_norm"],
             "pre_ffn_norm": lp["pre_ffn_norm"],
             "post_ffn_norm": lp["post_ffn_norm"],
-            "attn": ({k: quantize_int8(v, axis=0)
-                      for k, v in lp["attn"].items()}
+            # q/k/v fuse into one [H, (H+2KH)*D] weight -> ONE kernel launch
+            "attn": ({"qkv": quantize_int8(jnp.concatenate(
+                          [lp["attn"]["q"], lp["attn"]["k"],
+                           lp["attn"]["v"]], axis=1).astype(jnp.float32),
+                          axis=0),
+                      "o": quantize_int8(lp["attn"]["o"], axis=0)}
                      if "attn" in parts else lp["attn"]),
             "mlp": ({k: quantize_int8(v, axis=0)
                      for k, v in lp["mlp"].items()}
@@ -305,10 +323,8 @@ def prefill(
     for i in range(cfg.num_layers):
         lp = params["layers"][str(i)]
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        H, D, KH = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
-        q = linear(h, lp["attn"]["q"]).reshape(B, T, H, D)
-        k = linear(h, lp["attn"]["k"]).reshape(B, T, KH, D)
-        v = linear(h, lp["attn"]["v"]).reshape(B, T, KH, D)
+        H, D = cfg.num_heads, cfg.head_dim
+        q, k, v = _qkv_proj(lp["attn"], h, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         ks.append(k)
@@ -355,14 +371,12 @@ def decode_step(
 
     new_len = pos + 1
     ck, cv = cache.k, cache.v
-    H, D, KH = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
+    H, D = cfg.num_heads, cfg.head_dim
 
     for i in range(cfg.num_layers):
         lp = params["layers"][str(i)]
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        q = linear(h, lp["attn"]["q"]).reshape(B, 1, H, D)
-        k = linear(h, lp["attn"]["k"]).reshape(B, 1, KH, D)
-        v = linear(h, lp["attn"]["v"]).reshape(B, 1, KH, D)
+        q, k, v = _qkv_proj(lp["attn"], h, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 

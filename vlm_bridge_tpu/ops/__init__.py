@@ -14,3 +14,11 @@ from vlm_bridge_tpu.ops.layers import (  # noqa: F401
     apply_rope,
 )
 from vlm_bridge_tpu.ops.attention import dot_product_attention  # noqa: F401
+from vlm_bridge_tpu.ops.quant import (  # noqa: F401
+    dequantize,
+    int8_matmul,
+    int8_matmul_t,
+    int8_mlp,
+    quantize_int8,
+)
+from vlm_bridge_tpu.ops.sampling import sample_token, sanitize_logits  # noqa: F401
