@@ -31,3 +31,14 @@ def test_trace_window(tmp_path):
 
 def test_empty_summary():
     assert StepProfiler().summary() == {}
+
+
+def test_init_multihost_single_host_noop(monkeypatch):
+    from vlm_bridge_tpu.parallel.distributed import init_multihost, process_info
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert init_multihost() is False
+    info = process_info()
+    assert info["process_count"] == 1 and info["process_index"] == 0

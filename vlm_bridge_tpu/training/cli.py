@@ -35,6 +35,12 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    # multi-host/slice bootstrap (no-op on a single host)
+    from vlm_bridge_tpu.parallel.distributed import init_multihost, process_info
+
+    if init_multihost():
+        print(f"distributed init: {process_info()}")
+
     from vlm_bridge_tpu.configs import TrainingConfig
     from vlm_bridge_tpu.training.orchestrator import execute_full_training
 
