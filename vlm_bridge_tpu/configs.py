@@ -245,7 +245,8 @@ class TrainingConfig:
     profile_trace_dir: Optional[str] = None      # capture a jax.profiler trace here
     profile_start_step: int = 10                 # trace window start (epoch-local)
     profile_num_steps: int = 5                   # trace window length
-    validation_strategy_sweep: bool = True       # robust sweep on 1st val sample
+    validation_strategy_sweep: bool = False      # robust sweep on 1st val
+                                                 # sample (5 extra jit traces)
 
     # ------------------------------------------------------------------
     @classmethod

@@ -14,33 +14,40 @@ import time
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="vlm-data", description="GroundCap data pipeline (TPU-native stack)")
+    # parent parser so --platform works AFTER the subcommand too
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force a JAX backend (CPU smoke runs)")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    sub.add_parser("explore-dataset", help="download GroundCap and print structure")
+    sub.add_parser("explore-dataset", parents=[common],
+                   help="download GroundCap and print structure")
 
-    p_tr = sub.add_parser("transform", help="download, transform, split, save")
+    p_tr = sub.add_parser("transform", parents=[common],
+                          help="download, transform, split, save")
     p_tr.add_argument("--output-dir", default="data/groundcap")
     p_tr.add_argument("--jpeg-quality", type=int, default=95)
     p_tr.add_argument("--num-workers", type=int, default=4)
 
-    p_in = sub.add_parser("inspect-loader", help="inspect prepared batches")
+    p_in = sub.add_parser("inspect-loader", parents=[common],
+                          help="inspect prepared batches")
     p_in.add_argument("--data-dir", default="data/groundcap")
     p_in.add_argument("--split", default="train")
     p_in.add_argument("--batch-size", type=int, default=4)
     p_in.add_argument("--tokenizer-path", default=None)
 
-    p_sy = sub.add_parser("synth", help="generate an offline synthetic dataset")
+    p_sy = sub.add_parser("synth", parents=[common],
+                          help="generate an offline synthetic dataset")
     p_sy.add_argument("--output-dir", default="data/groundcap-synth")
     p_sy.add_argument("--num-samples", type=int, default=32)
     p_sy.add_argument("--image-size", type=int, default=224)
     p_sy.add_argument("--seed", type=int, default=0)
 
-    p_st = sub.add_parser("stats", help="print split statistics")
+    p_st = sub.add_parser("stats", parents=[common],
+                          help="print split statistics")
     p_st.add_argument("--data-dir", default="data/groundcap")
 
-    parser.add_argument(
-        "--platform", default=None, choices=["cpu", "tpu"],
-        help="force a JAX backend (CPU smoke runs)")
     args = parser.parse_args(argv)
 
     if args.platform:

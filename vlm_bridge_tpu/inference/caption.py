@@ -90,62 +90,29 @@ def main(argv=None) -> int:
     ap.add_argument("--sample", dest="greedy", action="store_false")
     ap.add_argument("--temperature", type=float, default=0.7)
     ap.add_argument("--top-p", type=float, default=0.9)
-    ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--hf-vision-path", default=None)
-    ap.add_argument("--hf-lm-path", default=None)
-    ap.add_argument("--tokenizer-path", default=None)
-    ap.add_argument("--preset", default="default", choices=["default", "tiny"])
-    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
-    ap.add_argument("--quantize", default=None,
-                    help="int8 LM weight groups: comma list of embedding,mlp,attn")
     ap.add_argument("--output", default=None, help="write JSONL here (else stdout)")
+    from vlm_bridge_tpu.tools.loading import (
+        add_model_args, apply_platform, load_from_args)
+
+    add_model_args(ap)
     args = ap.parse_args(argv)
-
-    if args.platform:
-        import os
-
-        if args.platform == "cpu":
-            os.environ.setdefault("VLM_BRIDGE_DISABLE_PALLAS", "1")
-        jax.config.update("jax_platforms", args.platform)
+    apply_platform(args)
 
     paths = collect_images(args.images)
     if not paths:
         print(f"no images found for {args.images!r}", file=sys.stderr)
         return 1
 
-    from vlm_bridge_tpu.configs import VLMConfig
-    from vlm_bridge_tpu.data.tokenizer import get_tokenizer
     from vlm_bridge_tpu.inference.generate import GenerationConfig
-    from vlm_bridge_tpu.models import full_model
 
-    cfg = VLMConfig.tiny_test() if args.preset == "tiny" else VLMConfig.default()
-    params = full_model.init(jax.random.key(0), cfg)
-    if args.hf_vision_path:
-        from vlm_bridge_tpu.params.hf_loader import load_dinov2
-        params["vision"] = load_dinov2(
-            args.hf_vision_path, cfg.vision,
-            target_grids=(cfg.image_size // cfg.vision.patch_size,))
-    if args.hf_lm_path:
-        from vlm_bridge_tpu.params.hf_loader import load_gemma2
-        params["lm"] = load_gemma2(args.hf_lm_path, cfg.lm)
-    if args.checkpoint:
-        from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
-        p = Path(args.checkpoint)
-        store = CheckpointStore(str(p.parent))
-        restored, _ = store.load(
-            p.name, template={"bridge_params": params["bridge"]})
-        params["bridge"] = restored["bridge_params"]
-    if args.quantize:
-        from vlm_bridge_tpu.models import gemma2
-        params["lm"] = gemma2.quantize_params(
-            params["lm"], parts=tuple(args.quantize.split(",")))
+    cfg, params, tokenizer = load_from_args(args)
 
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
         temperature=args.temperature, top_p=args.top_p, early_stop=True)
     t0 = time.time()
     results = caption_images(
-        params, cfg, get_tokenizer(args.tokenizer_path), paths,
+        params, cfg, tokenizer, paths,
         batch_size=min(args.batch_size, len(paths)), gen=gen)
     dt = time.time() - t0
 

@@ -62,7 +62,7 @@ def evaluate_split(
 
     candidates, refs = [], []
     n_done = 0
-    gen_time = 0.0
+    batch_times = []  # (n_captions, seconds) per decoded batch
     for batch in loader:
         pixels_np = batch["pixel_values"]
         real = pixels_np.shape[0]
@@ -83,7 +83,7 @@ def evaluate_split(
             rng=jax.random.fold_in(rng, n_done), gen=gen,
             activation_dtype=activation_dtype)
         toks, lens = np.asarray(toks), np.asarray(lens)  # fence
-        gen_time += time.time() - t0
+        batch_times.append((real, time.time() - t0))
 
         texts = decode_captions(tokenizer, toks[:real], lens[:real])
         candidates.extend(texts)
@@ -95,12 +95,19 @@ def evaluate_split(
             break
 
     metrics = evaluate_captions(candidates, refs)
-    # first-batch compile time is excluded from a steady-state rate only if
-    # there were multiple batches; report both
-    cps = n_done / gen_time if gen_time > 0 else 0.0
+    gen_time = sum(t for _, t in batch_times)
+    total_cps = n_done / gen_time if gen_time > 0 else 0.0
+    # steady-state rate excludes the first batch (it pays jit compilation)
+    if len(batch_times) > 1:
+        n_s = sum(n for n, _ in batch_times[1:])
+        t_s = sum(t for _, t in batch_times[1:])
+        cps = n_s / t_s if t_s > 0 else 0.0
+    else:
+        cps = total_cps
     result = {
         "metrics": metrics,
         "captions_per_sec": cps,
+        "captions_per_sec_incl_compile": total_cps,
         "num_samples": n_done,
         "generation_time_s": gen_time,
         "samples": list(zip(candidates[:10], [r[0] for r in refs[:10]])),
@@ -129,56 +136,21 @@ def main(argv=None) -> int:
                     help="temperature/top-p sampling instead of greedy")
     ap.add_argument("--temperature", type=float, default=0.7)
     ap.add_argument("--top-p", type=float, default=0.9)
-    ap.add_argument("--checkpoint", default=None,
-                    help="bridge checkpoint dir/slot (e.g. ckpt/best)")
-    ap.add_argument("--hf-vision-path", default=None)
-    ap.add_argument("--hf-lm-path", default=None)
-    ap.add_argument("--tokenizer-path", default=None)
-    ap.add_argument("--preset", default="default", choices=["default", "tiny"])
-    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
-    ap.add_argument("--quantize", default=None,
-                    help="int8-quantize LM weight groups (comma list of "
-                         "embedding,mlp,attn) for faster batched decode")
     ap.add_argument("--output", default=None, help="write result JSON here")
+    from vlm_bridge_tpu.tools.loading import (
+        add_model_args, apply_platform, load_from_args)
+
+    add_model_args(ap)
     args = ap.parse_args(argv)
+    apply_platform(args)
 
-    if args.platform:
-        import os
-
-        if args.platform == "cpu":
-            os.environ.setdefault("VLM_BRIDGE_DISABLE_PALLAS", "1")
-        jax.config.update("jax_platforms", args.platform)
-
-    from vlm_bridge_tpu.data.tokenizer import get_tokenizer
-    from vlm_bridge_tpu.models import full_model
-
-    cfg = VLMConfig.tiny_test() if args.preset == "tiny" else VLMConfig.default()
-    params = full_model.init(jax.random.key(0), cfg)
-    if args.hf_vision_path:
-        from vlm_bridge_tpu.params.hf_loader import load_dinov2
-        params["vision"] = load_dinov2(
-            args.hf_vision_path, cfg.vision,
-            target_grids=(cfg.image_size // cfg.vision.patch_size,))
-    if args.hf_lm_path:
-        from vlm_bridge_tpu.params.hf_loader import load_gemma2
-        params["lm"] = load_gemma2(args.hf_lm_path, cfg.lm)
-    if args.checkpoint:
-        from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
-        p = Path(args.checkpoint)
-        store = CheckpointStore(str(p.parent))
-        restored, _ = store.load(
-            p.name, template={"bridge_params": params["bridge"]})
-        params["bridge"] = restored["bridge_params"]
-    if args.quantize:
-        from vlm_bridge_tpu.models import gemma2
-        params["lm"] = gemma2.quantize_params(
-            params["lm"], parts=tuple(args.quantize.split(",")))
+    cfg, params, tokenizer = load_from_args(args)
 
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
         temperature=args.temperature, top_p=args.top_p, early_stop=True)
     result = evaluate_split(
-        params, cfg, args.data_dir, tokenizer=get_tokenizer(args.tokenizer_path),
+        params, cfg, args.data_dir, tokenizer=tokenizer,
         split=args.split, batch_size=args.batch_size, gen=gen,
         max_samples=args.max_samples)
     if args.output:

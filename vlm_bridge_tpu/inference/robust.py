@@ -63,6 +63,7 @@ def generate_caption_robust(
     strategies: Sequence[Tuple[str, GenerationConfig]] = DEFAULT_STRATEGIES,
     rng: Optional[jax.Array] = None,
     max_length: int = 50,
+    activation_dtype=None,
 ) -> Dict[str, object]:
     """Try each strategy; return all results + the first healthy caption.
 
@@ -70,22 +71,26 @@ def generate_caption_robust(
     "caption": str}. Every strategy result is kept (like the reference's
     results dict) so callers can inspect what failed and how.
     """
+    import dataclasses
+
+    import jax.numpy as jnp
+
     if rng is None:
         rng = jax.random.key(0)
+    if activation_dtype is None:
+        activation_dtype = jnp.bfloat16
     vision = full_model.encode_image_jit(params, cfg, pixel_values)
 
     results: Dict[str, str] = {}
     chosen = None
     caption = ""
     for i, (name, gen) in enumerate(strategies):
-        gen = GenerationConfig(
-            max_length=max_length, temperature=gen.temperature, top_p=gen.top_p,
-            greedy=gen.greedy, exact=gen.exact, topk_window=gen.topk_window,
-            bypass_bridge=gen.bypass_bridge)
+        gen = dataclasses.replace(gen, max_length=max_length)
         try:
             toks, lens = generate_tokens(
                 params, cfg, vision_features=vision,
-                rng=jax.random.fold_in(rng, i), gen=gen)
+                rng=jax.random.fold_in(rng, i), gen=gen,
+                activation_dtype=activation_dtype)
             text = decode_captions(tokenizer, toks, lens)[0]
             results[name] = text
             if chosen is None and not is_degenerate(text):

@@ -90,9 +90,10 @@ def embed(params: dict, input_ids: jax.Array) -> jax.Array:
     only the gathered rows are dequantized."""
     E = params["embedding"]
     if isinstance(E, dict):
-        rows = jnp.take(E["w_int8"], input_ids, axis=0).astype(jnp.bfloat16)
-        scales = jnp.take(E["scale"], input_ids, axis=0).astype(jnp.bfloat16)
-        return rows * scales[..., None]
+        # dequant in f32 (like every other dequant path), cast once
+        rows = jnp.take(E["w_int8"], input_ids, axis=0).astype(jnp.float32)
+        scales = jnp.take(E["scale"], input_ids, axis=0)
+        return (rows * scales[..., None]).astype(jnp.bfloat16)
     return jnp.take(E, input_ids, axis=0)
 
 
@@ -266,6 +267,11 @@ def quantize_params(
     outweighs the byte savings on your batch size).
     """
     from vlm_bridge_tpu.ops.quant import quantize_int8
+
+    unknown = set(parts) - {"embedding", "mlp", "attn"}
+    if unknown:
+        raise ValueError(f"unknown quantize parts: {sorted(unknown)} "
+                         f"(valid: embedding, mlp, attn)")
 
     out = {
         "embedding": (quantize_int8(params["embedding"], axis=1)

@@ -21,6 +21,7 @@ falls back to the jnp reference path (attention.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -41,7 +42,15 @@ def maybe_flash_attention(
     q, k, v, *, scale, mask, is_causal, logit_softcap, sliding_window,
     q_positions, kv_positions,
 ) -> Optional[jax.Array]:
-    """Dispatch to the Pallas kernel when supported, else None."""
+    """Dispatch to the Pallas kernel when supported AND profitable, else None.
+
+    Profitability (measured, v5e, bs=8 training): at S=256 XLA's fused
+    attention beats the flash kernel end-to-end (39.5 vs 37.0 samples/s) —
+    the custom-VJP tile recompute isn't worth it while the [T, S] logits
+    still fit comfortably. The kernel pays off as S grows (memory scales
+    O(T·S) per layer in the XLA path vs O(T) here), so dispatch requires
+    S >= VLM_BRIDGE_FLASH_MIN_S (default 512).
+    """
     B, T, H, D = q.shape
     S, KH = k.shape[1], k.shape[2]
     if mask is not None:
@@ -50,8 +59,9 @@ def maybe_flash_attention(
         return None
     if D % 128 != 0 and D not in (64,):
         return None
-    if T < 8 or S < 128:
-        return None  # tiny shapes: not worth a kernel launch
+    min_s = int(os.environ.get("VLM_BRIDGE_FLASH_MIN_S", "512"))
+    if T < 8 or S < min_s:
+        return None  # XLA's fused attention wins at small S (see above)
     try:
         return flash_attention(
             q, k, v, scale=scale, is_causal=is_causal,

@@ -236,11 +236,11 @@ class GenerationDebugger:
             pixel_values = pixel_values[None]
         vision = full_model.encode_image_jit(
             self.params, self.cfg, pixel_values[:1])
+        import dataclasses
+
         out: Dict[str, str] = {}
         for i, (name, g) in enumerate(DEFAULT_STRATEGIES):
-            gen = GenerationConfig(
-                max_length=max_length, temperature=g.temperature,
-                top_p=g.top_p, greedy=g.greedy)
+            gen = dataclasses.replace(g, max_length=max_length)
             try:
                 toks, lens = generate_tokens(
                     self.params, self.cfg, vision_features=vision,
@@ -285,37 +285,19 @@ def main(argv=None) -> int:
     """`vlm-debug` CLI: trace generation on an image (or synthetic noise)."""
     import argparse
 
+    from vlm_bridge_tpu.tools.loading import (
+        add_model_args, apply_platform, load_from_args)
+
     ap = argparse.ArgumentParser(
         prog="vlm-debug", description="generation debugger")
     ap.add_argument("--image", default=None, help="image path (synthetic if unset)")
-    ap.add_argument("--checkpoint", default=None, help="bridge checkpoint slot/dir")
-    ap.add_argument("--hf-vision-path", default=None)
-    ap.add_argument("--hf-lm-path", default=None)
-    ap.add_argument("--tokenizer-path", default=None)
-    ap.add_argument("--preset", default="default", choices=["default", "tiny"])
     ap.add_argument("--max-length", type=int, default=30)
     ap.add_argument("--report", default="debug_generation_report.json")
+    add_model_args(ap)
     args = ap.parse_args(argv)
+    apply_platform(args)
 
-    from vlm_bridge_tpu.data.tokenizer import get_tokenizer
-
-    cfg = VLMConfig.tiny_test() if args.preset == "tiny" else VLMConfig.default()
-    params = full_model.init(jax.random.key(0), cfg)
-    if args.hf_vision_path:
-        from vlm_bridge_tpu.params.hf_loader import load_dinov2
-        params["vision"] = load_dinov2(
-            args.hf_vision_path, cfg.vision,
-            target_grids=(cfg.image_size // cfg.vision.patch_size,))
-    if args.hf_lm_path:
-        from vlm_bridge_tpu.params.hf_loader import load_gemma2
-        params["lm"] = load_gemma2(args.hf_lm_path, cfg.lm)
-    if args.checkpoint:
-        from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
-        store = CheckpointStore(str(Path(args.checkpoint).parent))
-        restored, _ = store.load(
-            Path(args.checkpoint).name,
-            template={"bridge_params": params["bridge"]})
-        params["bridge"] = restored["bridge_params"]
+    cfg, params, tokenizer = load_from_args(args)
 
     if args.image:
         from PIL import Image
@@ -327,7 +309,7 @@ def main(argv=None) -> int:
         pixels = jnp.asarray(np.random.default_rng(0).normal(
             0, 1, (1, cfg.image_size, cfg.image_size, 3)), jnp.float32)
 
-    dbg = GenerationDebugger(params, cfg, get_tokenizer(args.tokenizer_path))
+    dbg = GenerationDebugger(params, cfg, tokenizer)
     report = dbg.full_report(
         pixels, max_length=args.max_length, save_path=args.report)
     print(f"caption: {report.caption!r}")

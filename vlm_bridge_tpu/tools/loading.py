@@ -1,0 +1,80 @@
+"""Shared CLI plumbing: model/weight-loading flags and their resolution.
+
+vlm-eval, vlm-caption, and vlm-debug all need the same stack setup (preset
+-> random init -> optional HF snapshots -> optional bridge checkpoint ->
+optional int8 quantization -> tokenizer); this is the single implementation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+def add_model_args(ap) -> None:
+    """Attach the common model/weights/platform argument set."""
+    ap.add_argument("--checkpoint", default=None,
+                    help="bridge checkpoint slot (e.g. checkpoints/exp/best)")
+    ap.add_argument("--hf-vision-path", default=None,
+                    help="local HF snapshot of facebook/dinov2-large")
+    ap.add_argument("--hf-lm-path", default=None,
+                    help="local HF snapshot of google/gemma-2-2b")
+    ap.add_argument("--tokenizer-path", default=None)
+    ap.add_argument("--preset", default="default",
+                    choices=["default", "tiny", "gemma2_9b"])
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a JAX backend (CPU smoke runs)")
+    ap.add_argument("--quantize", default=None,
+                    help="int8-quantize LM weight groups: comma list of "
+                         "embedding,mlp,attn")
+
+
+def apply_platform(args) -> None:
+    """Honor --platform before any jax array op (call first)."""
+    if getattr(args, "platform", None):
+        import os
+
+        if args.platform == "cpu":
+            os.environ.setdefault("VLM_BRIDGE_DISABLE_PALLAS", "1")
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def load_from_args(args):
+    """(cfg, params, tokenizer) resolved from the common argument set."""
+    import jax
+
+    from vlm_bridge_tpu.configs import VLMConfig
+    from vlm_bridge_tpu.data.tokenizer import get_tokenizer
+    from vlm_bridge_tpu.models import full_model
+
+    presets = {"default": VLMConfig.default, "tiny": VLMConfig.tiny_test,
+               "gemma2_9b": VLMConfig.gemma2_9b}
+    cfg = presets[args.preset]()
+    params = full_model.init(jax.random.key(0), cfg)
+
+    if args.hf_vision_path:
+        from vlm_bridge_tpu.params.hf_loader import load_dinov2
+
+        params["vision"] = load_dinov2(
+            args.hf_vision_path, cfg.vision,
+            target_grids=(cfg.image_size // cfg.vision.patch_size,))
+    if args.hf_lm_path:
+        from vlm_bridge_tpu.params.hf_loader import load_gemma2
+
+        params["lm"] = load_gemma2(args.hf_lm_path, cfg.lm)
+    if args.checkpoint:
+        from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
+
+        p = Path(args.checkpoint)
+        store = CheckpointStore(str(p.parent))
+        restored, _ = store.load(
+            p.name, template={"bridge_params": params["bridge"]})
+        params["bridge"] = restored["bridge_params"]
+    if getattr(args, "quantize", None):
+        from vlm_bridge_tpu.models import gemma2
+
+        params["lm"] = gemma2.quantize_params(
+            params["lm"], parts=tuple(args.quantize.split(",")))
+
+    return cfg, params, get_tokenizer(args.tokenizer_path)

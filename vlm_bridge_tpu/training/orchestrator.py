@@ -196,8 +196,10 @@ def run_training_epoch(ctx: TrainingContext, epoch: int) -> float:
         with prof.step(), ctx.mesh:
             ctx.state, metrics = ctx.train_step(
                 ctx.state, ctx.frozen, dev_batch, rng)
+            # jit returns asynchronously — sync inside the timed region so
+            # perf/step_ms_* measure the device step, not dispatch latency
+            loss = float(jax.block_until_ready(metrics["loss"]))
         step = int(ctx.state.step)
-        loss = float(metrics["loss"])
         total_loss += loss
         n += 1
         if step % tc.log_every_n_steps == 0:
@@ -324,13 +326,15 @@ def generate_validation_samples(ctx: TrainingContext, epoch: int) -> None:
             len(set(all_words)) / max(len(all_words), 1), epoch)
 
     # robust strategy sweep on the first sample (reference runs primary +
-    # fallback strategies per epoch, core_training_loop.py:295-319)
+    # fallback strategies per epoch, core_training_loop.py:295-319).
+    # Off by default: 5 strategies = 5 extra jit traces at a batch-1 shape.
     if tc.validation_strategy_sweep and k > 0:
         from vlm_bridge_tpu.inference.robust import generate_caption_robust
 
         sweep = generate_caption_robust(
             params, ctx.cfg, pixels[:1], ctx.tokenizer,
-            rng=jax.random.key(epoch + 1), max_length=50)
+            rng=jax.random.key(epoch + 1), max_length=50,
+            activation_dtype=ctx.activation_dtype)
         body = "\n\n".join(
             f"**{name}:** {cap}" for name, cap in sweep["results"].items())
         ctx.writer.add_text(
