@@ -56,3 +56,40 @@ def test_show_trainer_layout(tmp_path, capsys):
     imported = load_pth(path, cfg)
     for x, y in zip(jax.tree.leaves(imported), jax.tree.leaves(params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_load_from_args_roundtrip(tmp_path):
+    """tools/loading.load_from_args restores a saved bridge checkpoint."""
+    import argparse
+    import jax
+
+    from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
+    from vlm_bridge_tpu.tools.loading import add_model_args, load_from_args
+
+    cfg = VLMConfig.tiny_test().bridge
+    params = bridge_mod.init(jax.random.key(11), cfg)
+    store = CheckpointStore(tmp_path / "ckpt")
+    store.save("best", bridge_params=params)
+
+    ap = argparse.ArgumentParser()
+    add_model_args(ap)
+    args = ap.parse_args(["--preset", "tiny",
+                          "--checkpoint", str(tmp_path / "ckpt" / "best")])
+    _, loaded, tok = load_from_args(args)
+    for x, y in zip(jax.tree.leaves(loaded["bridge"]), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert tok.encode("hi")[0] == tok.bos_token_id
+
+
+def test_load_from_args_quantize_validation():
+    import argparse
+
+    import pytest as _pytest
+
+    from vlm_bridge_tpu.tools.loading import add_model_args, load_from_args
+
+    ap = argparse.ArgumentParser()
+    add_model_args(ap)
+    args = ap.parse_args(["--preset", "tiny", "--quantize", "mpl"])
+    with _pytest.raises(ValueError, match="unknown quantize parts"):
+        load_from_args(args)
