@@ -131,3 +131,53 @@ def test_simple_bleu4():
     assert orchestrator.simple_bleu4("x y z w q", "a b c d e") == 0.0
     partial = orchestrator.simple_bleu4("a b c d x", "a b c d e")
     assert 0.0 < partial < 1.0
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """k microbatches with MultiSteps == one full-batch step (same per-token
+    loss weighting: uniform lengths)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig
+    from vlm_bridge_tpu.models import full_model
+    from vlm_bridge_tpu.training.train_step import (
+        init_train_state, make_schedule, make_train_step, split_frozen)
+
+    cfg = VLMConfig.tiny_test()
+    B, T = 4, 8
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixel_values": rng.integers(
+            0, 256, (B, cfg.image_size, cfg.image_size, 3), np.uint8),
+        "input_ids": rng.integers(3, cfg.lm.vocab_size, (B, T)).astype(np.int32),
+        "attn_mask": np.ones((B, T), np.int32),
+    }
+    params = full_model.init(jax.random.key(0), cfg, frozen_dtype=jnp.float32)
+    frozen = split_frozen(params)
+    key = jax.random.key(9)
+
+    def run(tc, batches):
+        # fresh copies: the train step donates its state buffers
+        fresh = jax.tree.map(jnp.copy, params)
+        state, opt = init_train_state(fresh, tc, steps_per_epoch=10)
+        step = make_train_step(cfg, tc, opt, make_schedule(tc, 10),
+                               activation_dtype=jnp.float32)
+        for b in batches:
+            state, metrics = step(state, frozen, b, key)
+        return state
+
+    tc_full = TrainingConfig(model_preset="tiny_test", batch_size=B,
+                             loss_chunk_size=8)
+    s_full = run(tc_full, [batch])
+
+    tc_acc = TrainingConfig(model_preset="tiny_test", batch_size=B // 2,
+                            loss_chunk_size=8, gradient_accumulation_steps=2)
+    halves = [{k: v[:2] for k, v in batch.items()},
+              {k: v[2:] for k, v in batch.items()}]
+    s_acc = run(tc_acc, halves)
+
+    for a, b in zip(jax.tree.leaves(s_full.bridge_params),
+                    jax.tree.leaves(s_acc.bridge_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)

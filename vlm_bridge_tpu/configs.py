@@ -247,6 +247,7 @@ class TrainingConfig:
     profile_num_steps: int = 5                   # trace window length
     validation_strategy_sweep: bool = False      # robust sweep on 1st val
                                                  # sample (5 extra jit traces)
+    gradient_accumulation_steps: int = 1         # microbatches per optimizer step
 
     # ------------------------------------------------------------------
     @classmethod

@@ -136,6 +136,9 @@ def main(argv=None) -> int:
                     help="temperature/top-p sampling instead of greedy")
     ap.add_argument("--temperature", type=float, default=0.7)
     ap.add_argument("--top-p", type=float, default=0.9)
+    ap.add_argument("--exact", action="store_true",
+                    help="reference-parity decode (bidirectional bridge, "
+                         "O(L^2); for token-for-token comparisons)")
     ap.add_argument("--output", default=None, help="write result JSON here")
     from vlm_bridge_tpu.tools.loading import (
         add_model_args, apply_platform, load_from_args)
@@ -148,7 +151,8 @@ def main(argv=None) -> int:
 
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
-        temperature=args.temperature, top_p=args.top_p, early_stop=True)
+        temperature=args.temperature, top_p=args.top_p,
+        exact=args.exact, early_stop=not args.exact)
     result = evaluate_split(
         params, cfg, args.data_dir, tokenizer=tokenizer,
         split=args.split, batch_size=args.batch_size, gen=gen,

@@ -55,8 +55,12 @@ def make_schedule(tc: TrainingConfig, steps_per_epoch: int):
 
 def make_optimizer(tc: TrainingConfig, steps_per_epoch: int) -> optax.GradientTransformation:
     """clip(0.3) -> AdamW(b1=.9, b2=.999, eps=1e-8, wd=0.01) with schedule
-    (reference create_optimizer, training_setup.py:228-257)."""
-    return optax.chain(
+    (reference create_optimizer, training_setup.py:228-257).
+
+    gradient_accumulation_steps > 1 wraps the chain in optax.MultiSteps:
+    grads average over k microbatches and clip/AdamW/schedule apply once per
+    effective batch (full-batch semantics at k-times-smaller memory)."""
+    opt = optax.chain(
         optax.clip_by_global_norm(tc.gradient_clip_val),
         optax.adamw(
             learning_rate=make_schedule(tc, steps_per_epoch),
@@ -64,6 +68,9 @@ def make_optimizer(tc: TrainingConfig, steps_per_epoch: int) -> optax.GradientTr
             weight_decay=tc.weight_decay,
         ),
     )
+    if tc.gradient_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, tc.gradient_accumulation_steps)
+    return opt
 
 
 def init_train_state(
@@ -122,7 +129,10 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "grad_norm_before_clip": grad_norm,
-            "learning_rate": schedule(state.step),
+            # state.step counts microbatches; the schedule advances once per
+            # optimizer step
+            "learning_rate": schedule(
+                state.step // tc.gradient_accumulation_steps),
             "token_count": aux["token_count"],
         }
         return new_state, metrics
