@@ -143,3 +143,27 @@ def test_early_stop_with_sampling(setup):
                            gen=GenerationConfig(**g, early_stop=True),
                            activation_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_under_8device_mesh(setup):
+    """Data-parallel decode: batch-sharded vision over the 8-device CPU mesh
+    must reproduce single-device outputs (multi-chip serving path)."""
+    from vlm_bridge_tpu.parallel import auto_mesh, batch_sharding, replicate
+
+    cfg, params, vision = setup
+    if vision.shape[0] % 2:
+        pytest.skip("need even batch")
+    mesh = auto_mesh(data=2, model=1, devices=jax.devices()[:2])
+    v_sharded = jax.device_put(vision, batch_sharding(mesh, vision.ndim))
+    p_repl = jax.device_put(params, replicate(mesh))
+
+    want, lw = generate_tokens(
+        params, cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=5, greedy=True),
+        activation_dtype=jnp.float32)
+    got, lg = generate_tokens(
+        p_repl, cfg, vision_features=v_sharded,
+        gen=GenerationConfig(max_length=5, greedy=True),
+        activation_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
