@@ -143,9 +143,10 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="disable frozen-LM rematerialization (faster when "
                          "activations fit in HBM)")
-    ap.add_argument("--quantize", default=None,
+    ap.add_argument("--quantize", default="embedding,mlp,attn",
                     help="int8-quantize LM weight groups for the decode "
-                         "bench: comma list of embedding,mlp,attn")
+                         "bench: comma list of embedding,mlp,attn; "
+                         "'' for bf16 decode")
     args = ap.parse_args()
 
     from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig
@@ -173,8 +174,9 @@ def main():
     if not args.skip_train:
         extras.update(bench_train(cfg, tc, args.batch, args.seq, args.steps))
     if not args.skip_decode:
+        extras["decode_quantize"] = args.quantize or "bf16"
         extras.update(bench_decode(cfg, args.decode_batch, args.decode_len,
-                                   quantize=args.quantize))
+                                   quantize=args.quantize or None))
         extras["decode_vs_baseline"] = (
             extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)
 
