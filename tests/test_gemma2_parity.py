@@ -140,3 +140,47 @@ def test_kv_cache_decode_matches_full_forward(hf_model, jax_params):
         np.testing.assert_allclose(
             np.asarray(step_logits[:, 0]), np.asarray(full[:, t]),
             atol=2e-4, rtol=2e-3, err_msg=f"position {t}")
+
+
+def test_padded_prefill_decode_matches_unpadded(hf_model, jax_params):
+    """Ragged prompts: a right-padded batch prefill + decode must produce the
+    same logits per row as running each row unpadded (pads unattendable,
+    per-row decode positions)."""
+    cfg, _ = hf_model
+    lens = [5, 9]
+    T = max(lens)
+    B = len(lens)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(3, cfg.vocab_size, (B, T)).astype(np.int32)
+    mask = np.zeros((B, T), np.int32)
+    for b, n in enumerate(lens):
+        mask[b, :n] = 1
+        ids[b, n:] = 0
+
+    # padded batch: prefill + 3 decode steps of a shared continuation token
+    cache = gemma2.KVCache.zeros(cfg, B, max_len=32, dtype=jnp.float32)
+    embeds = gemma2.embed(jax_params, jnp.asarray(ids))
+    _, cache = gemma2.prefill(jax_params, cfg, embeds, cache,
+                              attn_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(cache.length), lens)
+    cont = rng.integers(3, cfg.vocab_size, (3,)).astype(np.int32)
+    batch_logits = []
+    for t in cont:
+        tok = gemma2.embed(jax_params, jnp.full((B, 1), int(t), jnp.int32))
+        hidden, cache = gemma2.decode_step(jax_params, cfg, tok, cache)
+        batch_logits.append(np.asarray(
+            gemma2.logits_from_hidden(jax_params, cfg, hidden))[:, 0])
+
+    # oracle: each row alone, unpadded
+    for b, n in enumerate(lens):
+        cache1 = gemma2.KVCache.zeros(cfg, 1, max_len=32, dtype=jnp.float32)
+        e1 = gemma2.embed(jax_params, jnp.asarray(ids[b:b + 1, :n]))
+        _, cache1 = gemma2.prefill(jax_params, cfg, e1, cache1)
+        for step, t in enumerate(cont):
+            tok = gemma2.embed(jax_params, jnp.full((1, 1), int(t), jnp.int32))
+            hidden, cache1 = gemma2.decode_step(jax_params, cfg, tok, cache1)
+            want = np.asarray(
+                gemma2.logits_from_hidden(jax_params, cfg, hidden))[0, 0]
+            np.testing.assert_allclose(
+                batch_logits[step][b], want, atol=2e-4, rtol=2e-3,
+                err_msg=f"row {b} step {step}")

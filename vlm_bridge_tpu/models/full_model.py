@@ -174,8 +174,6 @@ def chunked_ce_loss(
     logits exist only transiently per chunk (forward AND backward).
     """
     B, T, H = hidden.shape
-    E = lm_params["embedding"]
-    cap = lm_cfg.final_logit_softcap
 
     pad_t = (-T) % chunk
     if pad_t:
@@ -185,9 +183,9 @@ def chunked_ce_loss(
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def one_chunk(h_c, y_c):
-        logits = jnp.einsum("bth,vh->btv", h_c, E, preferred_element_type=jnp.float32)
-        if cap is not None:
-            logits = jnp.tanh(logits / cap) * cap
+        # logits_from_hidden handles the tied head's softcap AND its
+        # int8-quantized form (loss eval on serving params must not crash)
+        logits = gemma2_mod.logits_from_hidden(lm_params, lm_cfg, h_c)
         valid = y_c != -100
         safe = jnp.where(valid, y_c, 0)
         lse = jax.scipy.special.logsumexp(logits, axis=-1)

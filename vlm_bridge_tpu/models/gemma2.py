@@ -36,14 +36,14 @@ class KVCache(NamedTuple):
 
     k: jax.Array  # [L, B, Smax, KH, D]
     v: jax.Array  # [L, B, Smax, KH, D]
-    length: jax.Array  # [] int32 — number of valid positions (uniform batch)
+    length: jax.Array  # [B] int32 — valid positions per row (ragged prompts)
 
     @staticmethod
     def zeros(cfg: Gemma2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
         return KVCache(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-            length=jnp.zeros((), jnp.int32),
+            length=jnp.zeros((batch,), jnp.int32),
         )
 
 
@@ -90,10 +90,11 @@ def embed(params: dict, input_ids: jax.Array) -> jax.Array:
     only the gathered rows are dequantized."""
     E = params["embedding"]
     if isinstance(E, dict):
-        # dequant in f32 (like every other dequant path), cast once
+        # dequant in f32 and return f32 — callers choose their activation
+        # dtype (hardcoding bf16 here would silently degrade f32 parity runs)
         rows = jnp.take(E["w_int8"], input_ids, axis=0).astype(jnp.float32)
         scales = jnp.take(E["scale"], input_ids, axis=0)
-        return (rows * scales[..., None]).astype(jnp.bfloat16)
+        return rows * scales[..., None]
     return jnp.take(E, input_ids, axis=0)
 
 
@@ -122,8 +123,11 @@ def _attention_block(
     cos: jax.Array,
     sin: jax.Array,
     attn_mask: Optional[jax.Array],
-    positions: jax.Array,
+    positions: Optional[jax.Array],
 ) -> jax.Array:
+    """positions=None means "queries are the trailing T of S positions" —
+    the default the attention op (and the flash kernel) assumes; passing the
+    arange explicitly would disqualify the Pallas dispatch for nothing."""
     B, T, H = x.shape[0], x.shape[1], cfg.num_heads
     D = cfg.head_dim
 
@@ -190,7 +194,8 @@ def forward_hidden(
     Returns hidden: [B, T, H].
     """
     B, T, _ = inputs_embeds.shape
-    if positions is None:
+    default_positions = positions is None
+    if default_positions:
         positions = jnp.arange(T)[None, :].repeat(B, axis=0)
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -201,6 +206,10 @@ def forward_hidden(
     if attn_mask is not None:
         key_mask = attn_mask[:, None, :].astype(bool)  # [B, 1(q), S] broadcast
 
+    # default arange positions match the attention op's implicit convention;
+    # omitting them keeps the Pallas flash kernel dispatchable
+    attn_positions = None if default_positions else positions
+
     layer_fn = _layer
     if remat:
         layer_fn = jax.checkpoint(
@@ -208,7 +217,7 @@ def forward_hidden(
         )
     for i in range(cfg.num_layers):
         x = layer_fn(params["layers"][str(i)], cfg, x, i,
-                     cos, sin, key_mask, positions)
+                     cos, sin, key_mask, attn_positions)
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
@@ -314,8 +323,11 @@ def prefill(
 ) -> Tuple[jax.Array, KVCache]:
     """Run the prompt through the decoder, filling the cache.
 
-    Returns (hidden [B, T, H], updated cache with length = T). Assumes the
-    prompt occupies positions [0, T) (right padding handled via attn_mask).
+    Returns (hidden [B, T, H], updated cache). Prompts occupy positions
+    [0, T); right padding is handled via attn_mask: pad K/V are written to
+    the cache but the per-row cache length = attn_mask.sum() keeps them
+    unattendable, and each row's next decode position continues from its
+    own true length.
     """
     B, T, _ = inputs_embeds.shape
     positions = jnp.arange(T)[None, :].repeat(B, axis=0)
@@ -337,10 +349,11 @@ def prefill(
         vs.append(v)
 
         window = cfg.sliding_window if cfg.layer_is_sliding(i) else None
+        # positions are the default arange here (prompt at [0, T)), which is
+        # the attention op's implicit convention — omit to allow flash dispatch
         attn = dot_product_attention(
             q, k, v, scale=cfg.attn_scale, mask=key_mask, is_causal=True,
             logit_softcap=cfg.attn_logit_softcap, sliding_window=window,
-            q_positions=positions, kv_positions=positions,
         )
         h = linear(attn.reshape(B, T, H * D), lp["attn"]["o"])
         x = x + rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
@@ -354,7 +367,11 @@ def prefill(
     v_stack = jnp.stack(vs).astype(cache.v.dtype)
     new_k = jax.lax.dynamic_update_slice(cache.k, k_stack, (0, 0, 0, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.v, v_stack, (0, 0, 0, 0, 0))
-    return hidden, KVCache(new_k, new_v, jnp.asarray(T, jnp.int32))
+    if attn_mask is not None:
+        lengths = attn_mask.sum(axis=1).astype(jnp.int32)
+    else:
+        lengths = jnp.full((B,), T, jnp.int32)
+    return hidden, KVCache(new_k, new_v, lengths)
 
 
 def decode_step(
@@ -365,12 +382,13 @@ def decode_step(
 ) -> Tuple[jax.Array, KVCache]:
     """One decode step. token_embeds: [B, 1, H] raw embedding of the new token.
 
-    Returns (hidden [B, 1, H], updated cache). The new token sits at position
-    cache.length.
+    Returns (hidden [B, 1, H], updated cache). Each row's new token sits at
+    its OWN position cache.length[b] (rows may be ragged after a padded
+    prefill).
     """
     B = token_embeds.shape[0]
-    pos = cache.length  # scalar
-    positions = jnp.full((B, 1), pos, jnp.int32)
+    pos = cache.length  # [B]
+    positions = pos[:, None]
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
     normalizer = jnp.asarray(cfg.hidden_size ** 0.5, token_embeds.dtype)
     x = token_embeds * normalizer
@@ -378,6 +396,7 @@ def decode_step(
     new_len = pos + 1
     ck, cv = cache.k, cache.v
     H, D = cfg.num_heads, cfg.head_dim
+    rows = jnp.arange(B)
 
     for i in range(cfg.num_layers):
         lp = params["layers"][str(i)]
@@ -386,10 +405,9 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype)[None], (i, 0, pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype)[None], (i, 0, pos, 0, 0))
+        # per-row scatter at each row's own write position
+        ck = ck.at[i, rows, pos].set(k[:, 0].astype(ck.dtype))
+        cv = cv.at[i, rows, pos].set(v[:, 0].astype(cv.dtype))
 
         if cfg.layer_is_sliding(i):
             window_start = jnp.maximum(new_len - cfg.sliding_window, 0)

@@ -67,7 +67,14 @@ def maybe_flash_attention(
             q, k, v, scale=scale, is_causal=is_causal,
             logit_softcap=logit_softcap, sliding_window=sliding_window,
         )
-    except Exception:
+    except Exception as e:
+        # fall back to the jnp path, but NOT silently: a kernel that stops
+        # compiling is a perf regression someone must see
+        import warnings
+
+        warnings.warn(
+            f"flash_attention dispatch failed for q{q.shape} k{k.shape} "
+            f"({type(e).__name__}: {e}); falling back to the XLA path")
         return None
 
 

@@ -21,10 +21,14 @@ import jax.numpy as jnp
 
 
 def sanitize_logits(logits: jax.Array) -> jax.Array:
-    """NaN -> 0, +/-Inf -> +/-100 (reference full_model.py:267-279)."""
-    logits = jnp.where(jnp.isnan(logits), 0.0, logits)
-    logits = jnp.clip(logits, -100.0, 100.0)
-    return logits
+    """Reference numerical-failure guards (full_model.py:267-279), per row:
+    a row containing any NaN becomes all-zero (uniform distribution); a row
+    containing any Inf is clamped to [-100, 100]. Finite rows pass through
+    UNCHANGED (the reference clamps only when an Inf is present)."""
+    has_nan = jnp.any(jnp.isnan(logits), axis=-1, keepdims=True)
+    logits = jnp.where(has_nan, 0.0, logits)
+    has_inf = jnp.any(jnp.isinf(logits), axis=-1, keepdims=True)
+    return jnp.where(has_inf, jnp.clip(logits, -100.0, 100.0), logits)
 
 
 def sample_token(
