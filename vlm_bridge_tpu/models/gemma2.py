@@ -124,10 +124,12 @@ def _attention_block(
     sin: jax.Array,
     attn_mask: Optional[jax.Array],
     positions: Optional[jax.Array],
-) -> jax.Array:
+    return_kv: bool = False,
+):
     """positions=None means "queries are the trailing T of S positions" —
     the default the attention op (and the flash kernel) assumes; passing the
-    arange explicitly would disqualify the Pallas dispatch for nothing."""
+    arange explicitly would disqualify the Pallas dispatch for nothing.
+    return_kv=True also returns the (rope'd) k and raw v for cache fills."""
     B, T, H = x.shape[0], x.shape[1], cfg.num_heads
     D = cfg.head_dim
 
@@ -146,7 +148,10 @@ def _attention_block(
         q_positions=positions,
         kv_positions=positions,
     )
-    return linear(out.reshape(B, T, H * D), lp["attn"]["o"])
+    out = linear(out.reshape(B, T, H * D), lp["attn"]["o"])
+    if return_kv:
+        return out, k, v
+    return out
 
 
 def _mlp_block(lp: dict, x: jax.Array) -> jax.Array:
@@ -165,16 +170,22 @@ def _mlp_block(lp: dict, x: jax.Array) -> jax.Array:
 
 def _layer(
     lp: dict, cfg: Gemma2Config, x: jax.Array, layer_idx: int,
-    cos, sin, attn_mask, positions,
-) -> jax.Array:
+    cos, sin, attn_mask, positions, *, return_kv: bool = False,
+):
     eps = cfg.rms_norm_eps
     h = rms_norm(x, lp["input_norm"], eps)
     h = _attention_block(lp, cfg, h, layer_idx, cos=cos, sin=sin,
-                         attn_mask=attn_mask, positions=positions)
+                         attn_mask=attn_mask, positions=positions,
+                         return_kv=return_kv)
+    if return_kv:
+        h, k, v = h
     x = x + rms_norm(h, lp["post_attn_norm"], eps)
     h = rms_norm(x, lp["pre_ffn_norm"], eps)
     h = _mlp_block(lp, h)
-    return x + rms_norm(h, lp["post_ffn_norm"], eps)
+    x = x + rms_norm(h, lp["post_ffn_norm"], eps)
+    if return_kv:
+        return x, k, v
+    return x
 
 
 def forward_hidden(
@@ -339,27 +350,12 @@ def prefill(
 
     ks, vs = [], []
     for i in range(cfg.num_layers):
-        lp = params["layers"][str(i)]
-        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        H, D = cfg.num_heads, cfg.head_dim
-        q, k, v = _qkv_proj(lp["attn"], h, cfg)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        # same layer wiring as forward_hidden (single source of truth),
+        # additionally capturing each layer's rope'd K / raw V for the cache
+        x, k, v = _layer(params["layers"][str(i)], cfg, x, i,
+                         cos, sin, key_mask, None, return_kv=True)
         ks.append(k)
         vs.append(v)
-
-        window = cfg.sliding_window if cfg.layer_is_sliding(i) else None
-        # positions are the default arange here (prompt at [0, T)), which is
-        # the attention op's implicit convention — omit to allow flash dispatch
-        attn = dot_product_attention(
-            q, k, v, scale=cfg.attn_scale, mask=key_mask, is_causal=True,
-            logit_softcap=cfg.attn_logit_softcap, sliding_window=window,
-        )
-        h = linear(attn.reshape(B, T, H * D), lp["attn"]["o"])
-        x = x + rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
-        h = rms_norm(x, lp["pre_ffn_norm"], cfg.rms_norm_eps)
-        h = _mlp_block(lp, h)
-        x = x + rms_norm(h, lp["post_ffn_norm"], cfg.rms_norm_eps)
 
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
