@@ -169,7 +169,6 @@ def make_synthetic_dataset(
     import numpy as np
     from PIL import Image
 
-    rng = np.random.default_rng(seed)
     words = ("a man walks the dog near red house and tall tree under blue sky "
              "with small car on wet road").split()
 
@@ -178,6 +177,10 @@ def make_synthetic_dataset(
             return num_samples
 
         def __getitem__(self, i):
+            # per-index generator: np.random.Generator is NOT thread-safe,
+            # and the transform pool calls this concurrently — deriving from
+            # (seed, i) keeps output identical under any scheduling
+            rng = np.random.default_rng((seed, i))
             arr = rng.integers(0, 256, (image_size, image_size, 3), np.uint8)
             n = 4 + int(rng.integers(0, 8))
             cap = " ".join(rng.choice(words, n)) + "."

@@ -194,7 +194,10 @@ def get_data_loaders(
     val = BatchLoader(
         VLDataset(data_dir, "val"), batch_size=batch_size,
         tokenizer=tokenizer, max_text_len=max_text_len, buckets=buckets,
-        shuffle=False, num_workers=num_workers)
+        shuffle=False, num_workers=num_workers,
+        # keep the tail: dropping it can empty a small val split entirely
+        # (one extra jit shape at eval time is the cheaper failure mode)
+        drop_last=False)
     return train, val
 
 

@@ -53,6 +53,15 @@ def normalize_on_device(pixels_u8: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return x.astype(dtype)
 
 
+def pad_to_batch(x: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad a partial batch to the static jit batch size by repeating row 0
+    (callers slice results back to the real count)."""
+    if x.shape[0] >= batch_size:
+        return x
+    reps = np.repeat(x[:1], batch_size - x.shape[0], axis=0)
+    return np.concatenate([x, reps], axis=0)
+
+
 def preprocess_numpy(images) -> np.ndarray:
     """List of PIL images -> normalized f32 [B, 224, 224, 3] (host fallback,
     used where a device round-trip is not wanted, e.g. tests)."""

@@ -41,7 +41,9 @@ def caption_images(
     """Caption a list of image files; returns [{"image", "caption"}...]."""
     from PIL import Image
 
-    from vlm_bridge_tpu.data.preprocess import host_resize_crop, normalize_on_device
+    from vlm_bridge_tpu.data.preprocess import (
+        CROP_SIZE, RESIZE_EDGE, host_resize_crop, normalize_on_device,
+        pad_to_batch)
     from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
     from vlm_bridge_tpu.inference.robust import decode_captions
 
@@ -55,16 +57,14 @@ def caption_images(
         chunk = image_paths[start: start + batch_size]
         arrs = []
         crop = cfg.image_size
-        edge = max(crop, round(crop * 256 / 224))  # keep the 224->256 ratio
+        edge = max(crop, round(crop * RESIZE_EDGE / CROP_SIZE))
         for path in chunk:
             with Image.open(path) as img:
                 arrs.append(host_resize_crop(img.convert("RGB"),
                                              crop=crop, edge=edge))
         pixels_np = np.stack(arrs)
         real = pixels_np.shape[0]
-        if real < batch_size:  # pad to the static decode shape
-            pixels_np = np.concatenate(
-                [pixels_np, np.repeat(pixels_np[:1], batch_size - real, 0)], 0)
+        pixels_np = pad_to_batch(pixels_np, batch_size)
         pixels = normalize_on_device(
             jnp.asarray(pixels_np), dtype=activation_dtype)
         toks, lens = generate_tokens(

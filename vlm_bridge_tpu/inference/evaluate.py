@@ -71,9 +71,9 @@ def evaluate_split(
             pixels_np = pixels_np[:real]
         if real == 0:
             break
-        if pixels_np.shape[0] < batch_size:  # pad to the static decode shape
-            reps = np.repeat(pixels_np[:1], batch_size - pixels_np.shape[0], 0)
-            pixels_np = np.concatenate([pixels_np, reps], axis=0)
+        from vlm_bridge_tpu.data.preprocess import pad_to_batch
+
+        pixels_np = pad_to_batch(pixels_np, batch_size)
 
         t0 = time.time()
         pixels = normalize_on_device(

@@ -148,6 +148,22 @@ class SummaryWriter:
         self._f.close()
 
 
+class NullWriter:
+    """No-op writer for non-zero processes in multi-host runs."""
+
+    def add_scalar(self, *a, **k) -> None:
+        pass
+
+    def add_text(self, *a, **k) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def read_events(path: str | Path):
     """Tiny TFRecord reader for tests: yields raw event payload bytes."""
     with open(path, "rb") as f:

@@ -66,11 +66,21 @@ def prepare_environment(
     params: Optional[dict] = None,
     tokenizer=None,
     mesh=None,
-    activation_dtype=jnp.bfloat16,
+    activation_dtype=None,
 ) -> TrainingContext:
     """Build the full training context (reference prepare_environment,
-    training_setup.py:118-188): model + loaders + optimizer + logging."""
+    training_setup.py:118-188): model + loaders + optimizer + logging.
+
+    activation_dtype=None derives from the reference-compatible use_amp/
+    amp_dtype config fields (bf16 under AMP — fp16 maps to bf16 on TPU —
+    else f32)."""
     cfg = tc.model_config()
+
+    if activation_dtype is None:
+        if tc.use_amp and tc.amp_dtype in ("bfloat16", "float16"):
+            activation_dtype = jnp.bfloat16
+        else:
+            activation_dtype = jnp.float32
 
     if tokenizer is None:
         tokenizer = get_tokenizer(tc.tokenizer_path)
@@ -89,8 +99,9 @@ def prepare_environment(
             params["lm"] = load_gemma2(tc.hf_lm_path, cfg.lm)
 
     if mesh is None:
-        data_ax = tc.mesh_shape[0] if tc.mesh_shape else -1
-        model_ax = tc.mesh_shape[1] if len(tc.mesh_shape) > 1 else 1
+        ms = tuple(tc.mesh_shape or (-1,))
+        data_ax = ms[0]
+        model_ax = ms[1] if len(ms) > 1 else 1
         n = len(jax.devices())
         if data_ax == -1:
             data_ax = n // model_ax
@@ -118,9 +129,16 @@ def prepare_environment(
         opt_state=jax.device_put(state.opt_state, replicate(mesh)),
     )
 
-    writer = SummaryWriter(tc.log_dir)
-    writer.add_text("config", "```\n" + "\n".join(
-        f"{k}: {v}" for k, v in sorted(vars(tc).items())) + "\n```", 0)
+    # multi-host: only process 0 writes events/checkpoints (the store's
+    # rmtree+rename slot swap is not multi-writer safe)
+    if jax.process_index() == 0:
+        writer = SummaryWriter(tc.log_dir)
+        writer.add_text("config", "```\n" + "\n".join(
+            f"{k}: {v}" for k, v in sorted(vars(tc).items())) + "\n```", 0)
+    else:
+        from vlm_bridge_tpu.runtime.tb_writer import NullWriter
+
+        writer = NullWriter()
     store = CheckpointStore(tc.checkpoint_dir)
 
     with mesh:
@@ -143,6 +161,8 @@ def prepare_environment(
 
 def save_checkpoint(ctx: TrainingContext, epoch: int, val_loss: float,
                     is_best: bool) -> None:
+    if jax.process_index() != 0:  # single writer in multi-host runs
+        return
     meta = {
         "epoch": epoch,
         "step": int(ctx.state.step),
@@ -241,7 +261,10 @@ def run_validation_epoch(ctx: TrainingContext, epoch: int) -> float:
         unique_tokens.update(valid.tolist())
         total_tokens += valid.size
     if n == 0:
-        return float("inf")
+        # nan = "no validation happened"; callers must not treat this as a
+        # bad epoch (inf here used to trip early stopping on empty loaders)
+        print("[Validation] WARNING: empty val loader — skipping validation")
+        return float("nan")
     avg = total_loss / n
     ppl = math.exp(min(avg, 50.0))
     ctx.writer.add_scalar("val/loss", avg, epoch)
@@ -360,12 +383,14 @@ def execute_full_training(
         print(f"resumed from epoch {ctx.start_epoch}")
 
     history: List[Dict[str, float]] = []
+    epoch = ctx.start_epoch  # bound for the emergency-checkpoint path
     try:
         for epoch in range(ctx.start_epoch, tc.num_epochs):
             train_loss = run_training_epoch(ctx, epoch)
             val_loss = float("nan")
             if (epoch + 1) % tc.val_every_n_epochs == 0:
                 val_loss = run_validation_epoch(ctx, epoch)
+            if math.isfinite(val_loss):
                 improved = val_loss < ctx.best_val_loss - tc.early_stopping_min_delta
                 if improved:
                     ctx.best_val_loss = val_loss
@@ -373,6 +398,8 @@ def execute_full_training(
                 else:
                     ctx.early_stop_counter += 1
             else:
+                # no validation this epoch (interval or empty loader):
+                # neither an improvement nor a strike against early stopping
                 improved = False
             if (epoch + 1) % tc.save_every_n_epochs == 0:
                 save_checkpoint(ctx, epoch, val_loss, improved)

@@ -37,9 +37,12 @@ class TrainState(NamedTuple):
 
 
 def make_schedule(tc: TrainingConfig, steps_per_epoch: int):
-    """LR schedule stepped per batch over epochs*steps (reference
-    create_scheduler, training_setup.py:284-326)."""
-    total = max(1, tc.num_epochs * steps_per_epoch)
+    """LR schedule stepped per OPTIMIZER step over the full run (reference
+    create_scheduler, training_setup.py:284-326). steps_per_epoch counts
+    microbatches; under gradient accumulation the schedule only advances
+    once per effective batch, so the horizon divides by k."""
+    accum = max(1, tc.gradient_accumulation_steps)
+    total = max(1, tc.num_epochs * steps_per_epoch // accum)
     if not tc.use_scheduler or tc.scheduler_type == "constant":
         return optax.constant_schedule(tc.learning_rate)
     if tc.scheduler_type == "cosine":
