@@ -89,7 +89,8 @@ def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
     }
 
 
-def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None):
+def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
+                 bypass_bridge=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -109,7 +110,8 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None):
     pixels = jnp.asarray(
         rng.normal(0, 1, (batch_size, cfg.image_size, cfg.image_size, 3)),
         jnp.bfloat16)
-    gen = GenerationConfig(max_length=max_length, greedy=True)
+    gen = GenerationConfig(max_length=max_length, greedy=True,
+                           bypass_bridge=bypass_bridge)
 
     # warmup/compile (np.asarray = real completion fence on axon)
     toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
@@ -147,6 +149,9 @@ def main():
                     help="int8-quantize LM weight groups for the decode "
                          "bench: comma list of embedding,mlp,attn; "
                          "'' for bf16 decode")
+    ap.add_argument("--bypass-bridge", action="store_true",
+                    help="diagnostic: decode without the bridge to measure "
+                         "its share of the step time")
     args = ap.parse_args()
 
     from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig
@@ -176,7 +181,8 @@ def main():
     if not args.skip_decode:
         extras["decode_quantize"] = args.quantize or "bf16"
         extras.update(bench_decode(cfg, args.decode_batch, args.decode_len,
-                                   quantize=args.quantize or None))
+                                   quantize=args.quantize or None,
+                                   bypass_bridge=args.bypass_bridge))
         extras["decode_vs_baseline"] = (
             extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)
 

@@ -53,6 +53,8 @@ def evaluate_split(
     Returns {"metrics": {...bleu/cider...}, "captions_per_sec": ...,
     "num_samples": N, "samples": [(generated, reference), ...first 10]}.
     """
+    from vlm_bridge_tpu.data.preprocess import pad_to_batch
+
     if rng is None:
         rng = jax.random.key(0)
     ds = VLDataset(data_dir, split)
@@ -71,8 +73,6 @@ def evaluate_split(
             pixels_np = pixels_np[:real]
         if real == 0:
             break
-        from vlm_bridge_tpu.data.preprocess import pad_to_batch
-
         pixels_np = pad_to_batch(pixels_np, batch_size)
 
         t0 = time.time()
