@@ -93,3 +93,26 @@ def test_load_from_args_quantize_validation():
     args = ap.parse_args(["--preset", "tiny", "--quantize", "mpl"])
     with _pytest.raises(ValueError, match="unknown quantize parts"):
         load_from_args(args)
+
+
+def test_partial_restore_from_full_slot(tmp_path):
+    """Weights-only template restores from a full training slot (the
+    vlm-eval --checkpoint ckpt/latest path the smoke script exercises)."""
+    import jax
+    import optax
+
+    from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
+
+    cfg = VLMConfig.tiny_test().bridge
+    params = bridge_mod.init(jax.random.key(3), cfg)
+    opt = optax.adamw(1e-3)
+    store = CheckpointStore(tmp_path)
+    store.save("latest", bridge_params=params, opt_state=opt.init(params),
+               meta={"epoch": 2})
+
+    restored, meta = store.load(
+        "latest", template={"bridge_params": params})
+    assert meta["epoch"] == 2
+    for x, y in zip(jax.tree.leaves(restored["bridge_params"]),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -133,7 +133,7 @@ def stacks():
     bridge = _Bridge(cfg.bridge).eval()
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in bridge_to_state_dict(params["bridge"], cfg.bridge).items()}
-    missing, unexpected = bridge.load_state_dict(sd, strict=True), None
+    bridge.load_state_dict(sd, strict=True)
     return cfg, params, vis, lm, bridge
 
 

@@ -70,14 +70,31 @@ class CheckpointStore:
     def load(
         self, slot: str, *, template
     ) -> Tuple[Any, Dict[str, Any]]:
-        """Restore a slot. `template` is a pytree with the same structure
+        """Restore a slot. `template` is a pytree with the target structure
         (e.g. {"bridge_params": ..., "opt_state": ...} from a fresh init) so
-        optax NamedTuple types are reconstructed exactly."""
+        optax NamedTuple types are reconstructed exactly.
+
+        A template covering only a SUBSET of the slot's top-level keys works
+        too (e.g. weights-only {"bridge_params": ...} from a full training
+        slot): the extra on-disk subtrees are ignored."""
         path = self._slot(slot)
         if not path.exists():
             raise FileNotFoundError(f"no checkpoint slot: {path}")
-        restored = _checkpointer().restore(
-            path.absolute(), item=jax.device_get(template))
+        try:
+            restored = _checkpointer().restore(
+                path.absolute(), item=jax.device_get(template))
+        except ValueError:
+            # partial restore: raw-load, then reshape the requested subtrees
+            # onto the template (restores leaf order + NamedTuple types)
+            raw = _checkpointer().restore(path.absolute())
+            if not (isinstance(template, dict) and isinstance(raw, dict)
+                    and set(template) <= set(raw)):
+                raise
+            restored = {}
+            for key, sub_t in template.items():
+                leaves = jax.tree.leaves(raw[key])
+                treedef = jax.tree.structure(jax.device_get(sub_t))
+                restored[key] = jax.tree.unflatten(treedef, leaves)
         meta_file = path / "meta.json"
         meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
         return restored, meta
