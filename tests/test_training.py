@@ -181,3 +181,24 @@ def test_gradient_accumulation_matches_full_batch():
                     jax.tree.leaves(s_acc.bridge_params)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+
+def test_empty_val_split_does_not_early_stop(tmp_path):
+    """An empty val loader yields nan val loss, which must not feed early
+    stopping (it used to return inf and kill runs after `patience` epochs)."""
+    from vlm_bridge_tpu.configs import TrainingConfig
+    from vlm_bridge_tpu.data.groundcap import make_synthetic_dataset
+    from vlm_bridge_tpu.training.orchestrator import execute_full_training
+
+    # 8 samples -> val split is empty after the 80/2/18 split
+    make_synthetic_dataset(tmp_path / "data", num_samples=8, image_size=70,
+                           seed=0)
+    tc = TrainingConfig(
+        model_preset="tiny_test", data_dir=str(tmp_path / "data"),
+        batch_size=2, num_epochs=5, max_steps_per_epoch=1, mesh_shape=(2,),
+        checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        num_workers=0, early_stopping_patience=2, use_early_stopping=True,
+        generate_samples_every_n_epochs=100)
+    result = execute_full_training(tc)
+    # all 5 epochs ran — nan val loss never tripped the patience counter
+    assert result["epochs_run"] == 5
