@@ -145,6 +145,9 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="disable frozen-LM rematerialization (faster when "
                          "activations fit in HBM)")
+    ap.add_argument("--no-loss-remat", action="store_true",
+                    help="save per-chunk CE logits instead of recomputing "
+                         "them in the backward")
     ap.add_argument("--quantize", default="embedding,mlp,attn",
                     help="int8-quantize LM weight groups for the decode "
                          "bench: comma list of embedding,mlp,attn; "
@@ -165,6 +168,8 @@ def main():
         tc = TrainingConfig(batch_size=args.batch)
     if args.no_remat:
         tc.remat_lm = False
+    if args.no_loss_remat:
+        tc.loss_remat = False
 
     import jax
 

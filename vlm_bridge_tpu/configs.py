@@ -241,6 +241,7 @@ class TrainingConfig:
     hf_lm_path: Optional[str] = None
     tokenizer_path: Optional[str] = None
     loss_chunk_size: int = 128                   # seq chunking for the 256k-vocab CE
+    loss_remat: bool = True                      # rematerialize per-chunk logits
     max_steps_per_epoch: Optional[int] = None    # truncate (tests / smoke runs)
     profile_trace_dir: Optional[str] = None      # capture a jax.profiler trace here
     profile_start_step: int = 10                 # trace window start (epoch-local)

@@ -101,6 +101,7 @@ def forward(
     bridge_pad_mask: bool = True,
     remat_lm: bool = True,
     loss_chunk: int = 128,
+    loss_remat: bool = True,
     return_logits: bool = False,
 ):
     """Full forward. With `labels` returns (loss, aux); otherwise logits.
@@ -124,6 +125,7 @@ def forward(
         return (loss, aux)
     loss, aux = chunked_ce_loss(
         params["lm"], cfg.lm, hidden, labels, chunk=loss_chunk,
+        remat=loss_remat,
     )
     return loss, aux
 
@@ -167,11 +169,14 @@ def chunked_ce_loss(
     labels: jax.Array,
     *,
     chunk: int = 128,
+    remat: bool = True,
 ):
     """Memory-efficient CE: sequence chunks, rematerialized logits.
 
-    hidden: [B, T, h]; labels: [B, T] with -100 ignored. The [B, chunk, V]
-    logits exist only transiently per chunk (forward AND backward).
+    hidden: [B, T, h]; labels: [B, T] with -100 ignored. With remat=True
+    the [B, chunk, V] logits exist only transiently per chunk (forward AND
+    backward — costs one extra logits matmul in the backward). remat=False
+    trades ~2 GB of saved f32 logit activations for that recompute.
     """
     B, T, H = hidden.shape
 
@@ -181,7 +186,6 @@ def chunked_ce_loss(
         labels = jnp.pad(labels, ((0, 0), (0, pad_t)), constant_values=-100)
     n_chunks = hidden.shape[1] // chunk
 
-    @functools.partial(jax.checkpoint, prevent_cse=False)
     def one_chunk(h_c, y_c):
         # logits_from_hidden handles the tied head's softcap AND its
         # int8-quantized form (loss eval on serving params must not crash)
@@ -192,6 +196,10 @@ def chunked_ce_loss(
         tgt = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
         nll = jnp.where(valid, lse - tgt, 0.0)
         return nll.sum(), valid.sum()
+
+    if remat:
+        one_chunk = functools.partial(jax.checkpoint, prevent_cse=False)(
+            one_chunk)
 
     h_chunks = hidden.reshape(B, n_chunks, chunk, H).transpose(1, 0, 2, 3)
     y_chunks = labels.reshape(B, n_chunks, chunk).transpose(1, 0, 2)

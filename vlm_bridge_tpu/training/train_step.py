@@ -119,6 +119,7 @@ def make_train_step(
                 labels=labels, rng=rng, train=True,
                 mask_pad_loss=tc.mask_pad_loss,
                 remat_lm=tc.remat_lm, loss_chunk=tc.loss_chunk_size,
+                loss_remat=tc.loss_remat,
             )
             return loss, aux
 
