@@ -47,6 +47,7 @@ def evaluate_split(
     activation_dtype=jnp.bfloat16,
     rng: Optional[jax.Array] = None,
     verbose: bool = True,
+    dump_samples: Optional[str | Path] = None,
 ) -> Dict[str, object]:
     """Caption every image in a split; score against the references.
 
@@ -112,6 +113,11 @@ def evaluate_split(
         "generation_time_s": gen_time,
         "samples": list(zip(candidates[:10], [r[0] for r in refs[:10]])),
     }
+    if dump_samples:
+        with open(dump_samples, "w") as f:
+            for cand, ref in zip(candidates, refs):
+                f.write(json.dumps(
+                    {"generated": cand, "reference": ref[0]}) + "\n")
     if verbose:
         m = metrics
         print(f"[eval:{split}] n={n_done} bleu4={m['bleu4']:.4f} "
@@ -140,6 +146,8 @@ def main(argv=None) -> int:
                     help="reference-parity decode (bidirectional bridge, "
                          "O(L^2); for token-for-token comparisons)")
     ap.add_argument("--output", default=None, help="write result JSON here")
+    ap.add_argument("--dump-samples", default=None,
+                    help="write every (generated, reference) pair as JSONL")
     from vlm_bridge_tpu.tools.loading import (
         add_model_args, apply_platform, load_from_args)
 
@@ -156,7 +164,7 @@ def main(argv=None) -> int:
     result = evaluate_split(
         params, cfg, args.data_dir, tokenizer=tokenizer,
         split=args.split, batch_size=args.batch_size, gen=gen,
-        max_samples=args.max_samples)
+        max_samples=args.max_samples, dump_samples=args.dump_samples)
     if args.output:
         Path(args.output).write_text(json.dumps(
             {k: v for k, v in result.items() if k != "samples"}, indent=2))
