@@ -81,3 +81,58 @@ def test_output_contract_large_config_shapes():
     params = dinov2.init(jax.random.key(0), cfg, dtype=jnp.float32)
     out = dinov2.forward(params, cfg, jnp.zeros((1, 224, 224, 3), jnp.float32))
     assert out.shape == (1, 257, 1024)
+
+
+def test_swiglu_ffn_parity():
+    """dinov2-giant's SwiGLU FFN variant vs HF (tiny dims, f32)."""
+    import dataclasses
+
+    from transformers import Dinov2Config as HFConfig
+    from transformers.models.dinov2.modeling_dinov2 import Dinov2Model
+
+    cfg = dataclasses.replace(DinoV2Config.tiny_test(), use_swiglu_ffn=True)
+    hf_cfg = HFConfig(
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        image_size=cfg.image_size,
+        patch_size=cfg.patch_size,
+        layerscale_value=cfg.layerscale_value,
+        use_swiglu_ffn=True,
+        attn_implementation="eager")
+    torch.manual_seed(1)
+    model = Dinov2Model(hf_cfg).eval()
+
+    # HF and this config must agree on the SwiGLU hidden width
+    assert model.encoder.layer[0].mlp.weights_out.in_features == cfg.swiglu_hidden
+
+    from vlm_bridge_tpu.params.hf_loader import dinov2_from_state_dict
+
+    params = dinov2_from_state_dict(
+        model.state_dict(), cfg, dtype=jnp.float32,
+        target_grids=(cfg.native_grid,))
+    import numpy as np
+
+    from vlm_bridge_tpu.models import dinov2
+
+    x = np.random.default_rng(0).normal(
+        0, 1, (2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    import torch as _torch
+
+    with _torch.no_grad():
+        want = model(_torch.from_numpy(x.transpose(0, 3, 1, 2))
+                     ).last_hidden_state.numpy()
+    got = np.asarray(dinov2.forward(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-3)
+
+
+def test_family_presets():
+    for cfg, hidden, layers in ((DinoV2Config.base(), 768, 12),
+                                (DinoV2Config.large(), 1024, 24),
+                                (DinoV2Config.giant(), 1536, 40)):
+        assert cfg.hidden_size == hidden and cfg.num_layers == layers
+        assert cfg.hidden_size % cfg.num_heads == 0
+    assert DinoV2Config.giant().use_swiglu_ffn
+    # HF dinov2-giant: mlp_ratio 4 * 1536 -> swiglu hidden 4096
+    assert DinoV2Config.giant().swiglu_hidden == 4096

@@ -47,10 +47,28 @@ class DinoV2Config:
     def native_grid(self) -> int:
         return self.image_size // self.patch_size
 
+    @property
+    def swiglu_hidden(self) -> int:
+        """SwiGLU FFN width (HF Dinov2SwiGLUFFN: 2/3 of mlp_ratio*hidden,
+        rounded up to a multiple of 8)."""
+        hf = int(self.hidden_size * self.mlp_ratio)
+        return (int(hf * 2 / 3) + 7) // 8 * 8
+
     @staticmethod
     def large() -> "DinoV2Config":
         """facebook/dinov2-large: 304M params, output [B, 257, 1024] @ 224px."""
         return DinoV2Config()
+
+    @staticmethod
+    def base() -> "DinoV2Config":
+        """facebook/dinov2-base: 86M params, hidden 768."""
+        return DinoV2Config(hidden_size=768, num_layers=12, num_heads=12)
+
+    @staticmethod
+    def giant() -> "DinoV2Config":
+        """facebook/dinov2-giant: 1.1B params, hidden 1536 (SwiGLU FFN)."""
+        return DinoV2Config(hidden_size=1536, num_layers=40, num_heads=24,
+                            use_swiglu_ffn=True)
 
     @staticmethod
     def tiny_test() -> "DinoV2Config":

@@ -40,7 +40,22 @@ def init(rng: jax.Array, cfg: DinoV2Config, dtype=jnp.bfloat16) -> dict:
     layers = {}
     for i in range(cfg.num_layers):
         ks = jax.random.split(keys[i], 8)
-        mlp_hidden = h * cfg.mlp_ratio
+        if cfg.use_swiglu_ffn:  # dinov2-giant
+            hf = cfg.swiglu_hidden
+            mlp = {
+                "win": dense(ks[4], h, 2 * hf),
+                "win_bias": jnp.zeros((2 * hf,), dtype),
+                "wout": dense(ks[5], hf, h),
+                "wout_bias": jnp.zeros((h,), dtype),
+            }
+        else:
+            mlp_hidden = h * cfg.mlp_ratio
+            mlp = {
+                "fc1": dense(ks[4], h, mlp_hidden),
+                "fc1_bias": jnp.zeros((mlp_hidden,), dtype),
+                "fc2": dense(ks[5], mlp_hidden, h),
+                "fc2_bias": jnp.zeros((h,), dtype),
+            }
         layers[str(i)] = {
             "norm1": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
             "norm2": {"scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
@@ -50,10 +65,7 @@ def init(rng: jax.Array, cfg: DinoV2Config, dtype=jnp.bfloat16) -> dict:
                 "v": dense(ks[2], h, h), "v_bias": jnp.zeros((h,), dtype),
                 "o": dense(ks[3], h, h), "o_bias": jnp.zeros((h,), dtype),
             },
-            "mlp": {
-                "fc1": dense(ks[4], h, mlp_hidden), "fc1_bias": jnp.zeros((mlp_hidden,), dtype),
-                "fc2": dense(ks[5], mlp_hidden, h), "fc2_bias": jnp.zeros((h,), dtype),
-            },
+            "mlp": mlp,
             "layerscale1": jnp.full((h,), cfg.layerscale_value, dtype),
             "layerscale2": jnp.full((h,), cfg.layerscale_value, dtype),
         }
@@ -91,6 +103,18 @@ def interpolate_pos_embed(pos_embed: jax.Array, cfg: DinoV2Config, grid: int) ->
     )
     patch_pos = patch_pos.reshape(1, grid * grid, h).astype(pos_embed.dtype)
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+def _mlp(mp: dict, x: jax.Array) -> jax.Array:
+    """GELU MLP (base/large) or SwiGLU FFN (giant; HF Dinov2SwiGLUFFN:
+    weights_in -> chunk2 -> silu(x1)*x2 -> weights_out)."""
+    if "win" in mp:
+        h = linear(x, mp["win"], mp["win_bias"])
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        return linear(jax.nn.silu(x1) * x2, mp["wout"], mp["wout_bias"])
+    h = linear(x, mp["fc1"], mp["fc1_bias"])
+    h = gelu_exact(h)
+    return linear(h, mp["fc2"], mp["fc2_bias"])
 
 
 def _attention(lp: dict, cfg: DinoV2Config, x: jax.Array) -> jax.Array:
@@ -147,9 +171,7 @@ def forward(
         h = _attention(lp, cfg, h)
         x = x + h * lp["layerscale1"].astype(x.dtype)
         h = layer_norm(x, lp["norm2"]["scale"], lp["norm2"]["bias"], eps)
-        h = linear(h, lp["mlp"]["fc1"], lp["mlp"]["fc1_bias"])
-        h = gelu_exact(h)
-        h = linear(h, lp["mlp"]["fc2"], lp["mlp"]["fc2_bias"])
+        h = _mlp(lp["mlp"], h)
         x = x + h * lp["layerscale2"].astype(x.dtype)
 
     return layer_norm(x, params["final_norm"]["scale"], params["final_norm"]["bias"], eps)

@@ -98,6 +98,20 @@ def dinov2_from_state_dict(
     layers = {}
     for i in range(cfg.num_layers):
         lp = f"encoder.layer.{i}."
+        if cfg.use_swiglu_ffn:  # dinov2-giant (HF Dinov2SwiGLUFFN keys)
+            mlp = {
+                "win": _as(dtype, _np(sd[lp + "mlp.weights_in.weight"]).T),
+                "win_bias": _as(dtype, sd[lp + "mlp.weights_in.bias"]),
+                "wout": _as(dtype, _np(sd[lp + "mlp.weights_out.weight"]).T),
+                "wout_bias": _as(dtype, sd[lp + "mlp.weights_out.bias"]),
+            }
+        else:
+            mlp = {
+                "fc1": _as(dtype, _np(sd[lp + "mlp.fc1.weight"]).T),
+                "fc1_bias": _as(dtype, sd[lp + "mlp.fc1.bias"]),
+                "fc2": _as(dtype, _np(sd[lp + "mlp.fc2.weight"]).T),
+                "fc2_bias": _as(dtype, sd[lp + "mlp.fc2.bias"]),
+            }
         layers[str(i)] = {
             "norm1": ln(lp + "norm1"),
             "norm2": ln(lp + "norm2"),
@@ -111,12 +125,7 @@ def dinov2_from_state_dict(
                 "o": _as(dtype, _np(sd[lp + "attention.output.dense.weight"]).T),
                 "o_bias": _as(dtype, sd[lp + "attention.output.dense.bias"]),
             },
-            "mlp": {
-                "fc1": _as(dtype, _np(sd[lp + "mlp.fc1.weight"]).T),
-                "fc1_bias": _as(dtype, sd[lp + "mlp.fc1.bias"]),
-                "fc2": _as(dtype, _np(sd[lp + "mlp.fc2.weight"]).T),
-                "fc2_bias": _as(dtype, sd[lp + "mlp.fc2.bias"]),
-            },
+            "mlp": mlp,
             "layerscale1": _as(dtype, sd[lp + "layer_scale1.lambda1"]),
             "layerscale2": _as(dtype, sd[lp + "layer_scale2.lambda1"]),
         }
