@@ -99,7 +99,10 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         GenerationConfig, generate_tokens)
     from vlm_bridge_tpu.models import full_model
 
-    n_chips = len(jax.devices())
+    # decode runs unsharded on the default device — per-chip = per-1-chip
+    # (bench_train builds a mesh; generation parallelism is batch-sharding,
+    # measured separately in tests/test_generate.py)
+    n_chips = 1
     params = full_model.init(jax.random.key(0), cfg)
     if quantize:
         from vlm_bridge_tpu.models import gemma2
@@ -120,7 +123,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
     t0 = time.time()
     for _ in range(reps):
         toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
-    np.asarray(toks)
+        np.asarray(toks)  # fence every rep (reps are data-independent)
     dt = (time.time() - t0) / reps
 
     cps = batch_size / dt
@@ -193,17 +196,22 @@ def main():
 
     value = extras.pop("train_samples_per_sec_per_chip", None)
     if value is None:
-        value = extras.get("decode_captions_per_sec_per_chip", 0.0)
+        if "decode_captions_per_sec_per_chip" not in extras:
+            raise SystemExit(
+                "nothing benchmarked (--skip-train with --skip-decode)")
+        value = extras["decode_captions_per_sec_per_chip"]
         metric = "decode_captions_per_sec_chip"
+        unit = "captions/s"
         vs = value / RTX4080_CAPTIONS_PER_SEC
     else:
         metric = "bridge_train_samples_per_sec_chip"
+        unit = "samples/s"
         vs = value / A100_BS8_SAMPLES_PER_SEC
 
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3),
-        "unit": "samples/s",
+        "unit": unit,
         "vs_baseline": round(vs, 3),
         **{k: (round(v, 4) if isinstance(v, float) else v)
            for k, v in extras.items()},

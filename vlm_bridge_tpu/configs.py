@@ -196,13 +196,9 @@ class VLMConfig:
 
     @staticmethod
     def tiny_test() -> "VLMConfig":
-        vision = DinoV2Config.tiny_test()
-        lm = Gemma2Config.tiny_test()
-        bridge = BridgeConfig(
-            vision_dim=vision.hidden_size, language_dim=lm.hidden_size,
-            num_blocks=2, num_heads_cross=2, num_heads_self=4, ffn_mult=2,
-        )
-        return VLMConfig(vision=vision, lm=lm, bridge=bridge, image_size=70)
+        return VLMConfig(
+            vision=DinoV2Config.tiny_test(), lm=Gemma2Config.tiny_test(),
+            bridge=BridgeConfig.tiny_test(), image_size=70)
 
 
 # ---------------------------------------------------------------------------

@@ -28,13 +28,15 @@ def main(argv=None) -> int:
     p_i.add_argument("pth", help="input .pth checkpoint")
     p_i.add_argument("out_dir", help="checkpoint store directory")
     p_i.add_argument("--slot", default="imported")
-    p_i.add_argument("--preset", default="default", choices=["default", "tiny"])
+    p_i.add_argument("--preset", default="default",
+                     choices=["default", "tiny", "gemma2_9b"])
 
     p_e = sub.add_parser("orbax-to-pth", help="Orbax slot -> reference .pth")
     p_e.add_argument("store_dir", help="checkpoint store directory")
     p_e.add_argument("out_pth", help="output .pth path")
     p_e.add_argument("--slot", default="best_weights_only")
-    p_e.add_argument("--preset", default="default", choices=["default", "tiny"])
+    p_e.add_argument("--preset", default="default",
+                     choices=["default", "tiny", "gemma2_9b"])
 
     p_s = sub.add_parser("show", help="print a .pth checkpoint's layout")
     p_s.add_argument("pth")
@@ -44,8 +46,9 @@ def main(argv=None) -> int:
     from vlm_bridge_tpu.configs import VLMConfig
 
     def bridge_cfg(preset):
-        cfg = VLMConfig.tiny_test() if preset == "tiny" else VLMConfig.default()
-        return cfg.bridge
+        presets = {"default": VLMConfig.default, "tiny": VLMConfig.tiny_test,
+                   "gemma2_9b": VLMConfig.gemma2_9b}
+        return presets[preset]().bridge
 
     if args.command == "pth-to-orbax":
         from vlm_bridge_tpu.params.torch_bridge import load_pth
@@ -90,10 +93,11 @@ def main(argv=None) -> int:
             print(f"  {k}: {tuple(sd[k].shape)}")
         if len(bridge_keys) > 8:
             print(f"  ... {len(bridge_keys) - 8} more")
-        extra = sorted(set(ckpt) - {"bridge_module_state_dict",
-                                    "model_state_dict"})
-        if extra:
-            print(f"sidecar keys: {extra}")
+        if sd is not ckpt:  # wrapper layouts: list non-weight sidecar keys
+            extra = sorted(set(ckpt) - {"bridge_module_state_dict",
+                                        "model_state_dict"})
+            if extra:
+                print(f"sidecar keys: {extra}")
 
     return 0
 

@@ -107,7 +107,11 @@ def _debug_step(
     f = logits.astype(jnp.float32)
     finite = jnp.where(jnp.isfinite(f), f, 0.0)
     top5_vals, top5_ids = jax.lax.top_k(finite, 5)
-    top5_probs = jax.nn.softmax(top5_vals, axis=-1)
+    # TRUE model probabilities (softmax over the full vocab), not a
+    # renormalization over 5 — a flat 256k distribution must read ~4e-6,
+    # not ~0.2, or the tool masks exactly the failures it exists to find
+    lse = jax.scipy.special.logsumexp(finite, axis=-1, keepdims=True)
+    top5_probs = jnp.exp(top5_vals - lse)
     stats = {
         "logit_mean": finite.mean(axis=-1),
         "logit_std": finite.std(axis=-1),
@@ -254,15 +258,22 @@ class GenerationDebugger:
 
     def compare_bridge_bypass(
         self, pixel_values, *, max_length: int = 30,
+        with_bridge_caption: Optional[str] = None,
     ) -> Dict[str, str]:
         """Greedy decode with and without the bridge. If the bypass output is
-        fluent but the bridged one is degenerate, the bridge is the culprit."""
+        fluent but the bridged one is degenerate, the bridge is the culprit.
+
+        with_bridge_caption: reuse an already-traced greedy caption for the
+        with-bridge leg (full_report passes its trace's result so the
+        expensive per-step decode is not repeated)."""
         out: Dict[str, str] = {}
-        for name, bypass in (("with_bridge", False), ("bypass_bridge", True)):
-            rep = self.debug_generation(
-                pixel_values, max_length=max_length, greedy=True,
-                bypass_bridge=bypass)
-            out[name] = rep.caption
+        if with_bridge_caption is None:
+            with_bridge_caption = self.debug_generation(
+                pixel_values, max_length=max_length, greedy=True).caption
+        out["with_bridge"] = with_bridge_caption
+        out["bypass_bridge"] = self.debug_generation(
+            pixel_values, max_length=max_length, greedy=True,
+            bypass_bridge=True).caption
         return out
 
     # -- full report (reference debug_generation.py:389-402) ---------------
@@ -275,7 +286,8 @@ class GenerationDebugger:
         report.strategies = self.strategy_sweep(
             pixel_values, max_length=max_length)
         report.bridge_ab = self.compare_bridge_bypass(
-            pixel_values, max_length=max_length)
+            pixel_values, max_length=max_length,
+            with_bridge_caption=report.caption)
         if save_path:
             Path(save_path).write_text(report.to_json())
         return report
