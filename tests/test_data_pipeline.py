@@ -159,3 +159,33 @@ def test_loader_propagates_worker_errors(tmp_path):
     loader = BatchLoader(ds, batch_size=2, num_workers=2)
     with pytest.raises(FileNotFoundError):
         list(loader)
+
+
+def test_get_transform_stats(tmp_path):
+    from vlm_bridge_tpu.data.groundcap import (
+        get_transform_stats, make_synthetic_dataset)
+
+    # reuse the synthetic generator's dataset object shape
+    import numpy as np
+    from PIL import Image
+
+    class _DS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {"id": f"x{i}",
+                    "image": Image.fromarray(
+                        np.zeros((8, 8, 3), np.uint8)),
+                    "caption": f'<gdo id="{i}">tagged</gdo> caption {i}'}
+
+    from vlm_bridge_tpu.data.groundcap import transform_and_save_images
+
+    records = transform_and_save_images(_DS(), tmp_path, num_workers=1)
+    stats = get_transform_stats(_DS(), records)
+    assert stats["original_count"] == stats["transformed_count"] == 3
+    # tag stripping shortens captions
+    assert (stats["avg_transformed_caption_length"]
+            < stats["avg_original_caption_length"])
+    assert "<gdo" in stats["sample_original"]
+    assert "<gdo" not in stats["sample_transformed"]

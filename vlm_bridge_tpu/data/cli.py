@@ -72,6 +72,8 @@ def main(argv=None) -> int:
             merged, args.output_dir, jpeg_quality=args.jpeg_quality,
             num_workers=args.num_workers)
         counts = groundcap.split_and_organize_files(records, args.output_dir)
+        for k, v in groundcap.get_transform_stats(merged, records).items():
+            print(f"  {k}: {v}")
         print(f"done in {time.time() - t0:.1f}s: {counts}")
 
     elif args.command == "inspect-loader":

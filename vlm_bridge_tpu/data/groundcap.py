@@ -139,6 +139,24 @@ def split_and_organize_files(records: List[dict], output_dir: str | Path) -> Dic
     return counts
 
 
+def get_transform_stats(dataset, records: List[dict]) -> Dict[str, object]:
+    """Before/after transform statistics (reference get_transform_stats,
+    transform_full_dataset.py:152-188): counts, average caption lengths, and
+    a sample pair showing the grounding-tag strip."""
+    raw_lengths = [len(dataset[i]["caption"]) for i in range(len(dataset))]
+    clean_lengths = [len(r["caption"]) for r in records]
+    return {
+        "original_count": len(dataset),
+        "transformed_count": len(records),
+        "avg_original_caption_length":
+            sum(raw_lengths) / max(len(raw_lengths), 1),
+        "avg_transformed_caption_length":
+            sum(clean_lengths) / max(len(clean_lengths), 1),
+        "sample_original": dataset[0]["caption"][:200] if len(dataset) else "",
+        "sample_transformed": records[0]["caption"][:200] if records else "",
+    }
+
+
 def get_split_stats(output_dir: str | Path) -> Dict[str, dict]:
     """Per-split sample counts + caption length stats."""
     output_dir = Path(output_dir)
