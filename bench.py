@@ -29,28 +29,16 @@ RTX4080_CAPTIONS_PER_SEC = 7.5  # "~5-10 captions/s" (README.md:282-284)
 
 def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from vlm_bridge_tpu.models import full_model
-    from vlm_bridge_tpu.parallel import auto_mesh, replicate, shard_batch, shard_params
-    from vlm_bridge_tpu.training.train_step import (
-        TrainState, init_train_state, make_schedule, make_train_step,
-        split_frozen)
+    from vlm_bridge_tpu.parallel import shard_batch
+    from vlm_bridge_tpu.training.stack import build_stack
 
-    mesh = auto_mesh(model=1)
     n_chips = len(jax.devices())
-
-    params = full_model.init(jax.random.key(0), cfg)
-    state, opt = init_train_state(params, tc, steps_per_epoch=1000)
-    schedule = make_schedule(tc, 1000)
-    params = shard_params(mesh, params)
-    frozen = split_frozen(params)
-    state = TrainState(
-        step=jax.device_put(state.step, replicate(mesh)),
-        bridge_params=shard_params(mesh, state.bridge_params),
-        opt_state=jax.device_put(state.opt_state, replicate(mesh)),
-    )
+    # steps_per_epoch only sets the LR-schedule horizon; use the real
+    # GroundCap epoch length (41,880 / bs) so bench matches the orchestrator
+    stack = build_stack(tc, steps_per_epoch=max(1, 41880 // batch_size))
+    mesh, frozen, state = stack.mesh, stack.frozen, stack.state
 
     rng = np.random.default_rng(0)
     batch = {
@@ -65,17 +53,18 @@ def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
     # NOTE: on the axon-tunneled TPU, block_until_ready returns before remote
     # execution completes; a host readback of a scalar that depends on the
     # full chain is the only reliable fence.
+    base_rng = jax.random.key(1)  # folded with state.step inside the step
     with mesh:
-        step = make_train_step(cfg, tc, opt, schedule)
+        step = stack.train_step
         t_compile = time.time()
         for i in range(warmup):
-            state, metrics = step(state, frozen, dev_batch, jax.random.key(i))
+            state, metrics = step(state, frozen, dev_batch, base_rng)
         float(jax.device_get(metrics["loss"]))
         compile_s = time.time() - t_compile
 
         t0 = time.time()
         for i in range(steps):
-            state, metrics = step(state, frozen, dev_batch, jax.random.key(i))
+            state, metrics = step(state, frozen, dev_batch, base_rng)
         float(jax.device_get(metrics["loss"]))
         dt = time.time() - t0
 

@@ -109,6 +109,18 @@ class BatchLoader:
             n += 1
         return n
 
+    def first_batch(self) -> Optional[Dict]:
+        """One (unshuffled) batch without spinning up the prefetch thread.
+
+        The per-epoch validation sampler only needs the first batch;
+        `next(iter(loader))` abandons the generator and leaks its producer
+        thread until GC. Returns None if the dataset is empty.
+        """
+        idxs = list(range(min(self.batch_size, len(self.ds))))
+        if not idxs:
+            return None
+        return self._make_batch(idxs, None)
+
     def _make_batch(self, idxs: List[int], pool: Optional[ThreadPoolExecutor]) -> Dict:
         mapper = pool.map if pool is not None else map
         images = list(mapper(self.ds.load_image, idxs))
@@ -185,8 +197,12 @@ def get_data_loaders(
     num_workers: int = 4,
     seed: int = 0,
 ):
-    """(train_loader, val_loader) — reference get_data_loaders parity
-    (data_loader.py:204-272)."""
+    """(train_loader, val_loader, test_loader) — reference get_data_loaders
+    parity (data_loader.py:204-272, which returns all three splits).
+
+    test_loader is None when the split directory has no manifest (synthetic
+    fixtures often materialize train/val only); train and val are required.
+    """
     train = BatchLoader(
         VLDataset(data_dir, "train"), batch_size=batch_size,
         tokenizer=tokenizer, max_text_len=max_text_len, buckets=buckets,
@@ -198,7 +214,13 @@ def get_data_loaders(
         # keep the tail: dropping it can empty a small val split entirely
         # (one extra jit shape at eval time is the cheaper failure mode)
         drop_last=False)
-    return train, val
+    test = None
+    if (Path(data_dir) / "test" / "captions.jsonl").exists():
+        test = BatchLoader(
+            VLDataset(data_dir, "test"), batch_size=batch_size,
+            tokenizer=tokenizer, max_text_len=max_text_len, buckets=buckets,
+            shuffle=False, num_workers=num_workers, drop_last=False)
+    return train, val, test
 
 
 def inspect_data_loader(loader: BatchLoader, num_batches: int = 2) -> None:

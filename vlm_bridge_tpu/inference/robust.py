@@ -20,9 +20,11 @@ from vlm_bridge_tpu.configs import VLMConfig
 from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
 from vlm_bridge_tpu.models import full_model
 
-# (name, GenerationConfig) — order matches the reference sweep
-# (full_model.py:396-404): conservative sampling first, then greedy, then
-# progressively hotter distributions.
+# (name, GenerationConfig) — a deliberately MODIFIED version of the reference
+# sweep (full_model.py:396-404, which runs greedy first with low_temp=0.1/
+# top_p=1.0 and returns every result without choosing): this sweep orders
+# strategies conservative-first and generate_caption_robust picks the first
+# non-degenerate caption, which is what callers actually want from a sweep.
 DEFAULT_STRATEGIES: Tuple[Tuple[str, GenerationConfig], ...] = (
     ("conservative", GenerationConfig(temperature=0.7, top_p=0.9)),
     ("greedy", GenerationConfig(greedy=True)),

@@ -95,6 +95,23 @@ class CheckpointStore:
                 leaves = jax.tree.leaves(raw[key])
                 treedef = jax.tree.structure(jax.device_get(sub_t))
                 restored[key] = jax.tree.unflatten(treedef, leaves)
+                # unflatten is positional and silently misassigns leaves if
+                # the on-disk order (sorted dict keys) differs from the
+                # template treedef's (e.g. a NamedTuple whose field order is
+                # not alphabetical) — verify every leaf landed on a slot of
+                # matching shape+dtype and refuse otherwise
+                for t_leaf, r_leaf in zip(jax.tree.leaves(sub_t), leaves):
+                    t_shape = getattr(t_leaf, "shape", np.shape(t_leaf))
+                    r_shape = getattr(r_leaf, "shape", np.shape(r_leaf))
+                    t_dtype = np.asarray(t_leaf).dtype
+                    r_dtype = np.asarray(r_leaf).dtype
+                    if tuple(t_shape) != tuple(r_shape) or t_dtype != r_dtype:
+                        raise ValueError(
+                            f"partial restore of {key!r}: leaf mismatch "
+                            f"(template {t_shape}/{t_dtype} vs restored "
+                            f"{r_shape}/{r_dtype}) — on-disk leaf order does "
+                            f"not match the template structure; restore with "
+                            f"a full template instead")
         meta_file = path / "meta.json"
         meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
         return restored, meta

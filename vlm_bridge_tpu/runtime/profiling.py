@@ -44,8 +44,13 @@ class StepProfiler:
         self._times_ms: List[float] = []
 
     @contextlib.contextmanager
-    def step(self):
-        """Wrap one training step; manages the trace window + timing."""
+    def step(self, record_time: bool = True):
+        """Wrap one training step; manages the trace window + timing.
+
+        record_time=False skips the per-step wall-time sample — used by
+        async dispatch loops where per-step wall time measures dispatch, not
+        device execution; those loops feed fenced timings via add_window().
+        """
         if (self.trace_dir and not self._tracing
                 and self._step == self.start_step):
             import jax
@@ -58,7 +63,7 @@ class StepProfiler:
             yield
         finally:
             dt = (time.monotonic() - t0) * 1000
-            if self._step >= self.warmup:
+            if record_time and self._step >= self.warmup:
                 self._times_ms.append(dt)
             self._step += 1
             if (self._tracing
@@ -67,6 +72,16 @@ class StepProfiler:
 
                 jax.profiler.stop_trace()
                 self._tracing = False
+
+    def add_window(self, steps: int, seconds: float) -> None:
+        """Record a fenced window of `steps` steps taking `seconds` total.
+
+        Async train loops only synchronize with the device at the logging
+        cadence; each fenced window contributes its average step time once
+        (percentiles are then over windows, not steps).
+        """
+        if steps > 0:
+            self._times_ms.append(1000.0 * seconds / steps)
 
     def close(self) -> None:
         if self._tracing:

@@ -26,13 +26,12 @@ from vlm_bridge_tpu.data.loader import get_data_loaders
 from vlm_bridge_tpu.data.tokenizer import get_tokenizer
 from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
 from vlm_bridge_tpu.models import full_model
-from vlm_bridge_tpu.parallel import auto_mesh, shard_batch, shard_params
+from vlm_bridge_tpu.parallel import shard_batch
 from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
 from vlm_bridge_tpu.runtime.profiling import StepProfiler
 from vlm_bridge_tpu.runtime.tb_writer import SummaryWriter
-from vlm_bridge_tpu.training.train_step import (
-    TrainState, init_train_state, make_eval_step, make_schedule,
-    make_train_step, split_frozen)
+from vlm_bridge_tpu.training.stack import build_stack
+from vlm_bridge_tpu.training.train_step import TrainState
 
 
 @dataclass
@@ -71,44 +70,16 @@ def prepare_environment(
     """Build the full training context (reference prepare_environment,
     training_setup.py:118-188): model + loaders + optimizer + logging.
 
+    The init->shard->jit half lives in training/stack.build_stack (shared
+    with bench.py and the multichip dryrun); this adds loaders + logging.
+
     activation_dtype=None derives from the reference-compatible use_amp/
     amp_dtype config fields (bf16 under AMP — fp16 maps to bf16 on TPU —
     else f32)."""
-    cfg = tc.model_config()
-
-    if activation_dtype is None:
-        if tc.use_amp and tc.amp_dtype in ("bfloat16", "float16"):
-            activation_dtype = jnp.bfloat16
-        else:
-            activation_dtype = jnp.float32
-
     if tokenizer is None:
         tokenizer = get_tokenizer(tc.tokenizer_path)
 
-    if params is None:
-        params = full_model.init(jax.random.key(tc.seed), cfg)
-        if tc.hf_vision_path:
-            from vlm_bridge_tpu.params.hf_loader import load_dinov2
-
-            params["vision"] = load_dinov2(
-                tc.hf_vision_path, cfg.vision,
-                target_grids=(cfg.image_size // cfg.vision.patch_size,))
-        if tc.hf_lm_path:
-            from vlm_bridge_tpu.params.hf_loader import load_gemma2
-
-            params["lm"] = load_gemma2(tc.hf_lm_path, cfg.lm)
-
-    if mesh is None:
-        ms = tuple(tc.mesh_shape or (-1,))
-        data_ax = ms[0]
-        model_ax = ms[1] if len(ms) > 1 else 1
-        n = len(jax.devices())
-        if data_ax == -1:
-            data_ax = n // model_ax
-        devices = jax.devices()[: data_ax * model_ax]
-        mesh = auto_mesh(data=data_ax, model=model_ax, devices=devices)
-
-    train_loader, val_loader = get_data_loaders(
+    train_loader, val_loader, _ = get_data_loaders(
         tc.data_dir, batch_size=tc.batch_size, tokenizer=tokenizer,
         max_text_len=tc.max_text_len, buckets=tc.pad_to_buckets,
         num_workers=tc.num_workers, seed=tc.seed)
@@ -116,18 +87,9 @@ def prepare_environment(
     if tc.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, tc.max_steps_per_epoch)
 
-    state, opt = init_train_state(params, tc, steps_per_epoch)
-    schedule = make_schedule(tc, steps_per_epoch)
-
-    from vlm_bridge_tpu.parallel import replicate
-
-    params = shard_params(mesh, params)
-    frozen = split_frozen(params)
-    state = TrainState(
-        step=jax.device_put(state.step, replicate(mesh)),
-        bridge_params=shard_params(mesh, state.bridge_params),
-        opt_state=jax.device_put(state.opt_state, replicate(mesh)),
-    )
+    stack = build_stack(
+        tc, params=params, mesh=mesh, steps_per_epoch=steps_per_epoch,
+        activation_dtype=activation_dtype)
 
     # multi-host: only process 0 writes events/checkpoints (the store's
     # rmtree+rename slot swap is not multi-writer safe)
@@ -141,17 +103,13 @@ def prepare_environment(
         writer = NullWriter()
     store = CheckpointStore(tc.checkpoint_dir)
 
-    with mesh:
-        train_step = make_train_step(
-            cfg, tc, opt, schedule, activation_dtype=activation_dtype)
-        eval_step = make_eval_step(cfg, tc, activation_dtype=activation_dtype)
-
     return TrainingContext(
-        tc=tc, cfg=cfg, mesh=mesh, frozen=frozen, state=state, opt=opt,
-        schedule=schedule, train_loader=train_loader, val_loader=val_loader,
+        tc=tc, cfg=stack.cfg, mesh=stack.mesh, frozen=stack.frozen,
+        state=stack.state, opt=stack.opt, schedule=stack.schedule,
+        train_loader=train_loader, val_loader=val_loader,
         tokenizer=tokenizer, writer=writer, store=store,
-        train_step=train_step, eval_step=eval_step,
-        activation_dtype=activation_dtype)
+        train_step=stack.train_step, eval_step=stack.eval_step,
+        activation_dtype=stack.activation_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -201,42 +159,61 @@ def load_checkpoint(ctx: TrainingContext, slot: str = "latest") -> None:
 
 
 def run_training_epoch(ctx: TrainingContext, epoch: int) -> float:
+    """Async dispatch loop: the ONLY device syncs are the host readback of
+    the metrics dict every `log_every_n_steps` and one bulk loss fetch at
+    epoch end. The round-1 loop synced every step (`int(state.step)` for the
+    RNG fold-in + a blocking loss read), serializing dispatch against device
+    execution; the fold-in now happens in-graph (train_step.py) and logging
+    gates on a host-side step counter."""
     tc = ctx.tc
-    total_loss, n = 0.0, 0
     t_epoch = time.time()
     prof = StepProfiler(
         trace_dir=tc.profile_trace_dir if epoch == 0 else None,
         start_step=tc.profile_start_step, num_steps=tc.profile_num_steps)
+    base_rng = jax.random.key(tc.seed + 1)
+    host_step = int(ctx.state.step)  # one sync per epoch, not per step
+    losses: List[jax.Array] = []     # device scalars; fetched once at the end
+    n = 0
+    # fenced-window timing: windows between metric readbacks measure true
+    # device throughput; the first window (jit compile) is skipped
+    t_fence, n_fence, fences = time.time(), 0, 0
     for batch_idx, batch in enumerate(ctx.train_loader):
         if tc.max_steps_per_epoch and batch_idx >= tc.max_steps_per_epoch:
             break
         dev_batch = shard_batch(ctx.mesh, batch)
-        rng = jax.random.fold_in(
-            jax.random.key(tc.seed + 1), int(ctx.state.step))
-        with prof.step(), ctx.mesh:
+        with prof.step(record_time=False), ctx.mesh:
             ctx.state, metrics = ctx.train_step(
-                ctx.state, ctx.frozen, dev_batch, rng)
-            # jit returns asynchronously — sync inside the timed region so
-            # perf/step_ms_* measure the device step, not dispatch latency
-            loss = float(jax.block_until_ready(metrics["loss"]))
-        step = int(ctx.state.step)
-        total_loss += loss
+                ctx.state, ctx.frozen, dev_batch, base_rng)
+        host_step += 1
+        losses.append(metrics["loss"])
         n += 1
-        if step % tc.log_every_n_steps == 0:
-            ctx.writer.add_scalar("train/loss", loss, step)
+        if host_step % tc.log_every_n_steps == 0:
+            m = jax.device_get(metrics)  # the fence
+            now = time.time()
+            if fences > 0:
+                prof.add_window(n - n_fence, now - t_fence)
+            t_fence, n_fence, fences = now, n, fences + 1
+            ctx.writer.add_scalar("train/loss", float(m["loss"]), host_step)
             ctx.writer.add_scalar(
-                "train/learning_rate", float(metrics["learning_rate"]), step)
+                "train/learning_rate", float(m["learning_rate"]), host_step)
             ctx.writer.add_scalar(
                 "train/grad_norm_before_clip",
-                float(metrics["grad_norm_before_clip"]), step)
+                float(m["grad_norm_before_clip"]), host_step)
+    loss_vals = [float(x) for x in jax.device_get(losses)] if losses else []
     prof.close()
-    avg = total_loss / max(n, 1)
+    avg = sum(loss_vals) / max(len(loss_vals), 1)
     dt = time.time() - t_epoch
     sps = n * tc.batch_size / max(dt, 1e-9)
     ctx.writer.add_scalar("epoch/train_loss", avg, epoch)
     ctx.writer.add_scalar("epoch/samples_per_sec", sps, epoch)
-    for k, v in prof.summary().items():
+    summary = prof.summary()
+    for k, v in summary.items():
         ctx.writer.add_scalar(f"perf/{k}", v, epoch)
+    if "step_ms_mean" in summary:
+        # steady-state throughput (excludes the compile window)
+        ctx.writer.add_scalar(
+            "perf/samples_per_sec_steady",
+            1000.0 * tc.batch_size / summary["step_ms_mean"], epoch)
     print(f"[Train] epoch {epoch + 1}: loss {avg:.4f} "
           f"({n} steps, {sps:.2f} samples/s)")
     return avg
@@ -244,7 +221,8 @@ def run_training_epoch(ctx: TrainingContext, epoch: int) -> float:
 
 def run_validation_epoch(ctx: TrainingContext, epoch: int) -> float:
     tc = ctx.tc
-    total_loss, n = 0.0, 0
+    batch_losses: List[jax.Array] = []  # device scalars; one fetch at the end
+    n = 0
     total_len, total_samples = 0.0, 0
     unique_tokens: set = set()
     total_tokens = 0
@@ -252,7 +230,7 @@ def run_validation_epoch(ctx: TrainingContext, epoch: int) -> float:
         dev_batch = shard_batch(ctx.mesh, batch)
         with ctx.mesh:
             m = ctx.eval_step(ctx.frozen, ctx.state.bridge_params, dev_batch)
-        total_loss += float(m["loss"])
+        batch_losses.append(m["loss"])
         n += 1
         mask = batch["attn_mask"].astype(bool)
         total_len += batch["attn_mask"].sum()
@@ -265,7 +243,7 @@ def run_validation_epoch(ctx: TrainingContext, epoch: int) -> float:
         # bad epoch (inf here used to trip early stopping on empty loaders)
         print("[Validation] WARNING: empty val loader — skipping validation")
         return float("nan")
-    avg = total_loss / n
+    avg = float(sum(float(x) for x in jax.device_get(batch_losses))) / n
     ppl = math.exp(min(avg, 50.0))
     ctx.writer.add_scalar("val/loss", avg, epoch)
     ctx.writer.add_scalar("val/perplexity", ppl, epoch)
@@ -311,9 +289,10 @@ def generate_validation_samples(ctx: TrainingContext, epoch: int) -> None:
     """Caption the first val batch, log text + BLEU to TB (reference
     _generate_validation_samples, core_training_loop.py:257-402)."""
     tc = ctx.tc
-    try:
-        batch = next(iter(ctx.val_loader))
-    except StopIteration:
+    # first_batch() avoids leaking the prefetch producer thread that
+    # abandoning a `next(iter(loader))` generator leaves behind until GC
+    batch = ctx.val_loader.first_batch()
+    if batch is None:
         return
     k = min(tc.num_validation_samples, batch["pixel_values"].shape[0])
     params = {**ctx.frozen, "bridge": jax.tree.map(

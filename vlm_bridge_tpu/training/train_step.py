@@ -102,9 +102,15 @@ def make_train_step(
     *,
     activation_dtype=jnp.bfloat16,
 ):
-    """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, frozen, batch, rng) -> (state, metrics).
+
+    rng is a BASE key: it is folded with the device-side step counter inside
+    the graph, so callers can pass the same key every step without a host
+    readback of `state.step` (the round-1 loop's per-step `int(state.step)`
+    sync serialized dispatch against device execution)."""
 
     def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
         pixels = _prep_pixels(batch["pixel_values"], activation_dtype)
         input_ids = batch["input_ids"]
         attn_mask = batch["attn_mask"]
