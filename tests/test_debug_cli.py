@@ -10,6 +10,7 @@ from vlm_bridge_tpu.tools.debug_generation import main as debug_main
 PIL = pytest.importorskip("PIL")
 
 
+@pytest.mark.slow
 def test_debug_cli_synthetic(tmp_path):
     report = tmp_path / "rep.json"
     rc = debug_main(["--preset", "tiny", "--max-length", "3",
@@ -20,6 +21,7 @@ def test_debug_cli_synthetic(tmp_path):
     assert len(data["steps"]) >= 1
 
 
+@pytest.mark.slow
 def test_debug_cli_image_file(tmp_path):
     from PIL import Image
 

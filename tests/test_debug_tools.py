@@ -81,6 +81,7 @@ def test_bridge_bypass_ab(setup):
         ByteTokenizer(), toks, lens)[0]
 
 
+@pytest.mark.slow
 def test_full_report_json(setup, tmp_path):
     cfg, params, pixels = setup
     dbg = GenerationDebugger(params, cfg, ByteTokenizer())
@@ -100,6 +101,7 @@ def test_is_degenerate():
     assert not is_degenerate("a dog runs across the field")
 
 
+@pytest.mark.slow
 def test_generate_caption_robust(setup):
     cfg, params, pixels = setup
     out = generate_caption_robust(

@@ -192,6 +192,7 @@ def test_full_stack_logits_and_loss_parity(stacks):
         float(my_loss), float(ref_loss), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_full_stack_no_padding_loss_parity(stacks):
     """Pure parity case: no pads, so the full reference loss (all positions)
     must match the chunked-CE loss exactly."""

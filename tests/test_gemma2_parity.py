@@ -142,6 +142,7 @@ def test_kv_cache_decode_matches_full_forward(hf_model, jax_params):
             atol=2e-4, rtol=2e-3, err_msg=f"position {t}")
 
 
+@pytest.mark.slow
 def test_padded_prefill_decode_matches_unpadded(hf_model, jax_params):
     """Ragged prompts: a right-padded batch prefill + decode must produce the
     same logits per row as running each row unpadded (pads unattendable,

@@ -51,6 +51,7 @@ def _reference_style_greedy(params, cfg, vision, max_length):
     return tokens
 
 
+@pytest.mark.slow
 def test_exact_mode_matches_reference_loop(setup):
     cfg, params, vision = setup
     N = 6

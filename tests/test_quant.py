@@ -102,6 +102,7 @@ def test_quantized_forward_close(lm_pair):
     assert (top_full == top_q).mean() > 0.8
 
 
+@pytest.mark.slow
 def test_quantized_generation_runs(lm_pair):
     """End-to-end fast decode with a quantized LM (bridge/vision stay bf16)."""
     from vlm_bridge_tpu.inference.generate import (

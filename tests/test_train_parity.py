@@ -90,6 +90,7 @@ def stacks():
     return cfg, params, vis, lm, bridge
 
 
+@pytest.mark.slow
 def test_adamw_trajectory_parity(stacks):
     cfg, params, vis, lm, bridge = stacks
     B, T = 2, 8

@@ -57,6 +57,7 @@ def test_schedules():
     assert float(make_schedule(tc3, 10)(15)) == pytest.approx(1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss_on_fixed_batch(data_dir, tmp_path):
     """Overfit one batch for a few steps: the bridge must learn."""
     tc = make_tc(data_dir, tmp_path, learning_rate=3e-3, min_lr=3e-3,
@@ -76,6 +77,7 @@ def test_train_step_decreases_loss_on_fixed_batch(data_dir, tmp_path):
     assert losses[-1] < losses[0] - 0.05, losses
 
 
+@pytest.mark.slow
 def test_full_training_run_and_artifacts(data_dir, tmp_path):
     tc = make_tc(data_dir, tmp_path, num_epochs=2)
     result = orchestrator.execute_full_training(tc)
@@ -95,6 +97,7 @@ def test_full_training_run_and_artifacts(data_dir, tmp_path):
     assert len(payloads) > 5
 
 
+@pytest.mark.slow
 def test_resume_restores_counters(data_dir, tmp_path):
     tc = make_tc(data_dir, tmp_path, num_epochs=1)
     r1 = orchestrator.execute_full_training(tc)
@@ -115,6 +118,7 @@ def test_resume_restores_counters(data_dir, tmp_path):
         r1_params, r2_params)
 
 
+@pytest.mark.slow
 def test_early_stopping(data_dir, tmp_path):
     """lr=0 -> no improvement -> stops after patience+1 validations."""
     tc = make_tc(data_dir, tmp_path, num_epochs=8, learning_rate=0.0,
@@ -133,6 +137,7 @@ def test_simple_bleu4():
     assert 0.0 < partial < 1.0
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_full_batch():
     """k microbatches with MultiSteps == one full-batch step (same per-token
     loss weighting: uniform lengths)."""
@@ -183,6 +188,7 @@ def test_gradient_accumulation_matches_full_batch():
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_empty_val_split_does_not_early_stop(tmp_path):
     """An empty val loader yields nan val loss, which must not feed early
     stopping (it used to return inf and kill runs after `patience` epochs)."""

@@ -132,7 +132,7 @@ def save_pth(params: dict, cfg: BridgeConfig, path: str | Path) -> None:
     """Save in reference FullModel.save_model format (weights-only)."""
     import torch
 
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    sd = {k: torch.from_numpy(np.array(v))  # copy: jnp buffers are read-only
           for k, v in bridge_to_state_dict(params, cfg).items()}
     torch.save({"bridge_module_state_dict": sd,
                 "model_config": {"bridge_dropout": cfg.dropout}}, str(path))
