@@ -96,3 +96,48 @@ def test_evaluate_split_max_samples(tmp_path):
         batch_size=4, gen=GenerationConfig(max_length=4, greedy=True),
         max_samples=5, activation_dtype=jnp.float32, verbose=False)
     assert result["num_samples"] == 5
+
+
+def test_evaluate_split_under_mesh(tmp_path):
+    """vlm-eval's mesh path: 8-way batch-sharded decode over the virtual CPU
+    mesh must produce the same metrics as the single-device run."""
+    from vlm_bridge_tpu.parallel import auto_mesh, shard_params
+
+    make_synthetic_dataset(tmp_path, num_samples=90, image_size=70, seed=3)
+    cfg = VLMConfig.tiny_test()
+    params = full_model.init(jax.random.key(0), cfg, frozen_dtype=jnp.float32)
+    tok = ByteTokenizer()
+    gen = GenerationConfig(max_length=5, greedy=True)
+
+    plain = evaluate_split(
+        params, cfg, tmp_path, tokenizer=tok, split="test", batch_size=8,
+        gen=gen, activation_dtype=jnp.float32, verbose=False)
+
+    mesh = auto_mesh(data=8, model=1, devices=jax.devices()[:8])
+    sharded = evaluate_split(
+        shard_params(mesh, params), cfg, tmp_path, tokenizer=tok,
+        split="test", batch_size=8, gen=gen, activation_dtype=jnp.float32,
+        verbose=False, mesh=mesh)
+
+    assert sharded["num_samples"] == plain["num_samples"] > 0
+    for k in ("bleu4", "cider_d"):
+        assert sharded["metrics"][k] == pytest.approx(plain["metrics"][k])
+
+
+def test_vlm_eval_cli_mesh_flag(tmp_path, capsys):
+    """`vlm-eval --mesh 8` end-to-end on the virtual device mesh."""
+    import json
+
+    from vlm_bridge_tpu.inference.evaluate import main
+
+    make_synthetic_dataset(tmp_path / "d", num_samples=60, image_size=70,
+                           seed=4)
+    out = tmp_path / "result.json"
+    rc = main(["--data-dir", str(tmp_path / "d"), "--split", "test",
+               "--preset", "tiny", "--platform", "cpu", "--mesh", "8",
+               "--batch-size", "8", "--max-length", "5",
+               "--max-samples", "8", "--output", str(out)])
+    assert rc == 0
+    result = json.loads(out.read_text())
+    assert result["num_samples"] == 8
+    assert "bleu4" in result["metrics"]

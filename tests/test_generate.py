@@ -168,3 +168,38 @@ def test_generate_under_8device_mesh(setup):
         activation_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
+
+
+def test_generate_under_tp_mesh(setup):
+    """(data=4, model=2) mesh: batch-sharded decode with a TENSOR-PARALLEL
+    frozen LM (the gemma2_9b serving story, parallel/sharding._LM_TP_RULES)
+    must reproduce single-device outputs token-for-token."""
+    from vlm_bridge_tpu.parallel import auto_mesh, shard_params
+
+    cfg, params, vision = setup
+    B = 8
+    vision8 = jnp.concatenate([vision] * (B // vision.shape[0]), axis=0)
+    mesh = auto_mesh(data=4, model=2, devices=jax.devices()[:8])
+    p_sharded = shard_params(mesh, params)  # lm TP-sharded, rest replicated
+
+    want, lw = generate_tokens(
+        params, cfg, vision_features=vision8,
+        gen=GenerationConfig(max_length=5, greedy=True),
+        activation_dtype=jnp.float32)
+    got, lg = generate_tokens(
+        p_sharded, cfg, vision_features=vision8,
+        gen=GenerationConfig(max_length=5, greedy=True),
+        activation_dtype=jnp.float32, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
+
+
+def test_generate_mesh_batch_divisibility_error(setup):
+    from vlm_bridge_tpu.parallel import auto_mesh, shard_params
+
+    cfg, params, vision = setup  # B=2, data axis 4 -> must raise
+    mesh = auto_mesh(data=4, model=1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="divide the mesh"):
+        generate_tokens(
+            shard_params(mesh, params), cfg, vision_features=vision,
+            gen=GenerationConfig(max_length=3, greedy=True), mesh=mesh)

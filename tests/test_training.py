@@ -208,3 +208,18 @@ def test_empty_val_split_does_not_early_stop(tmp_path):
     result = execute_full_training(tc)
     # all 5 epochs ran — nan val loss never tripped the patience counter
     assert result["epochs_run"] == 5
+
+
+def test_validation_samples_under_tp_mesh(data_dir, tmp_path):
+    """The in-training sample generator must work when the context mesh has a
+    model axis (TP-sharded frozen LM) and num_validation_samples does not
+    divide the data axis (round-1 gap: this path was untested under model>1)."""
+    tc = make_tc(data_dir, tmp_path, mesh_shape=(4, 2),
+                 num_validation_samples=3)
+    ctx = orchestrator.prepare_environment(tc, activation_dtype=jnp.float32)
+    orchestrator.generate_validation_samples(ctx, epoch=0)
+    from vlm_bridge_tpu.runtime.tb_writer import read_events
+
+    ctx.writer.flush()
+    events = list((tmp_path / "logs").glob("events.out.tfevents.*"))
+    assert events and len(list(read_events(events[0]))) > 3

@@ -36,7 +36,7 @@ def collect_images(spec: str) -> List[Path]:
 def caption_images(
     params, cfg, tokenizer, image_paths: List[Path], *,
     batch_size: int = 32, gen=None, activation_dtype=jnp.bfloat16,
-    rng=None,
+    rng=None, mesh=None,
 ) -> List[dict]:
     """Caption a list of image files; returns [{"image", "caption"}...]."""
     from PIL import Image
@@ -70,7 +70,7 @@ def caption_images(
         toks, lens = generate_tokens(
             params, cfg, pixel_values=pixels,
             rng=jax.random.fold_in(rng, start), gen=gen,
-            activation_dtype=activation_dtype)
+            activation_dtype=activation_dtype, mesh=mesh)
         texts = decode_captions(tokenizer, np.asarray(toks)[:real],
                                 np.asarray(lens)[:real])
         results.extend(
@@ -92,7 +92,7 @@ def main(argv=None) -> int:
     ap.add_argument("--top-p", type=float, default=0.9)
     ap.add_argument("--output", default=None, help="write JSONL here (else stdout)")
     from vlm_bridge_tpu.tools.loading import (
-        add_model_args, apply_platform, load_from_args)
+        add_model_args, apply_platform, load_from_args, mesh_from_args)
 
     add_model_args(ap)
     args = ap.parse_args(argv)
@@ -106,14 +106,16 @@ def main(argv=None) -> int:
     from vlm_bridge_tpu.inference.generate import GenerationConfig
 
     cfg, params, tokenizer = load_from_args(args)
+    mesh, params = mesh_from_args(args, params)
 
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
         temperature=args.temperature, top_p=args.top_p, early_stop=True)
     t0 = time.time()
+    batch_size = args.batch_size if mesh else min(args.batch_size, len(paths))
     results = caption_images(
-        params, cfg, tokenizer, paths,
-        batch_size=min(args.batch_size, len(paths)), gen=gen)
+        params, cfg, tokenizer, paths, batch_size=batch_size, gen=gen,
+        mesh=mesh)
     dt = time.time() - t0
 
     out = open(args.output, "w") if args.output else sys.stdout

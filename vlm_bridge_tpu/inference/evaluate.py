@@ -48,6 +48,7 @@ def evaluate_split(
     rng: Optional[jax.Array] = None,
     verbose: bool = True,
     dump_samples: Optional[str | Path] = None,
+    mesh=None,
 ) -> Dict[str, object]:
     """Caption every image in a split; score against the references.
 
@@ -82,7 +83,7 @@ def evaluate_split(
         toks, lens = generate_tokens(
             params, cfg, pixel_values=pixels,
             rng=jax.random.fold_in(rng, n_done), gen=gen,
-            activation_dtype=activation_dtype)
+            activation_dtype=activation_dtype, mesh=mesh)
         toks, lens = np.asarray(toks), np.asarray(lens)  # fence
         batch_times.append((real, time.time() - t0))
 
@@ -149,13 +150,14 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-samples", default=None,
                     help="write every (generated, reference) pair as JSONL")
     from vlm_bridge_tpu.tools.loading import (
-        add_model_args, apply_platform, load_from_args)
+        add_model_args, apply_platform, load_from_args, mesh_from_args)
 
     add_model_args(ap)
     args = ap.parse_args(argv)
     apply_platform(args)
 
     cfg, params, tokenizer = load_from_args(args)
+    mesh, params = mesh_from_args(args, params)
 
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
@@ -164,7 +166,8 @@ def main(argv=None) -> int:
     result = evaluate_split(
         params, cfg, args.data_dir, tokenizer=tokenizer,
         split=args.split, batch_size=args.batch_size, gen=gen,
-        max_samples=args.max_samples, dump_samples=args.dump_samples)
+        max_samples=args.max_samples, dump_samples=args.dump_samples,
+        mesh=mesh)
     if args.output:
         Path(args.output).write_text(json.dumps(
             {k: v for k, v in result.items() if k != "samples"}, indent=2))

@@ -282,17 +282,42 @@ def generate_tokens(
     rng: Optional[jax.Array] = None,
     gen: GenerationConfig = GenerationConfig(),
     activation_dtype=jnp.bfloat16,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Generate caption tokens.
 
     Returns (tokens [B, max_length+1] incl. BOS, lengths [B] = index of EOS
     or full length). Strip BOS and anything from EOS onward to detokenize
     (reference full_model.py:379-384).
+
+    mesh: optional ("data","model") jax.sharding.Mesh — the batch is sharded
+    over "data" (batch must divide that axis) and GSPMD partitions the decode
+    over the mesh (incl. a tensor-parallel LM when params are sharded over
+    "model"). None = whatever sharding the inputs already carry.
     """
-    if vision_features is None:
-        vision_features = full_model.encode_image_jit(params, cfg, pixel_values)
     if rng is None:
         rng = jax.random.key(0)
+    if mesh is not None:
+        from vlm_bridge_tpu.parallel import batch_sharding
+
+        data_ax = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+        batch = (pixel_values if vision_features is None
+                 else vision_features).shape[0]
+        if batch % max(data_ax, 1):
+            raise ValueError(
+                f"generation batch {batch} must divide the mesh 'data' axis "
+                f"({data_ax}); pad with data.preprocess.pad_to_batch")
+        with mesh:
+            if vision_features is None:
+                pixel_values = jax.device_put(
+                    pixel_values, batch_sharding(mesh, jnp.ndim(pixel_values)))
+                vision_features = full_model.encode_image_jit(
+                    params, cfg, pixel_values)
+            fn = _generate_exact if gen.exact else _generate_fast
+            return fn(params, cfg, vision_features, rng, gen,
+                      activation_dtype=activation_dtype)
+    if vision_features is None:
+        vision_features = full_model.encode_image_jit(params, cfg, pixel_values)
     fn = _generate_exact if gen.exact else _generate_fast
     return fn(params, cfg, vision_features, rng, gen,
               activation_dtype=activation_dtype)

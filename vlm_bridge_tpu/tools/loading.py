@@ -26,6 +26,10 @@ def add_model_args(ap) -> None:
     ap.add_argument("--quantize", default=None,
                     help="int8-quantize LM weight groups: comma list of "
                          "embedding,mlp,attn")
+    ap.add_argument("--mesh", default=None,
+                    help="device mesh for inference: DATA[,MODEL] (e.g. "
+                         "'8' = 8-way batch-sharded decode, '4,2' adds "
+                         "2-way tensor parallelism for the LM)")
 
 
 def apply_platform(args) -> None:
@@ -78,3 +82,22 @@ def load_from_args(args):
             params["lm"], parts=tuple(args.quantize.split(",")))
 
     return cfg, params, get_tokenizer(args.tokenizer_path)
+
+
+def mesh_from_args(args, params):
+    """Resolve --mesh into (mesh, sharded params). (None, params) without it.
+
+    "D" or "D,M": D-way data parallelism (batch sharding) x M-way tensor
+    parallelism for the frozen LM (parallel/sharding._LM_TP_RULES).
+    """
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None, params
+    parts = [int(x) for x in str(spec).split(",")]
+    data = parts[0]
+    model = parts[1] if len(parts) > 1 else 1
+
+    from vlm_bridge_tpu.parallel import auto_mesh, shard_params
+
+    mesh = auto_mesh(data=data, model=model)
+    return mesh, shard_params(mesh, params)

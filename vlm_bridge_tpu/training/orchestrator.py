@@ -297,16 +297,23 @@ def generate_validation_samples(ctx: TrainingContext, epoch: int) -> None:
     k = min(tc.num_validation_samples, batch["pixel_values"].shape[0])
     params = {**ctx.frozen, "bridge": jax.tree.map(
         lambda p: p.astype(ctx.activation_dtype), ctx.state.bridge_params)}
-    from vlm_bridge_tpu.data.preprocess import normalize_on_device
+    from vlm_bridge_tpu.data.preprocess import normalize_on_device, pad_to_batch
 
-    pixels = normalize_on_device(
-        jnp.asarray(batch["pixel_values"][:k]), dtype=ctx.activation_dtype)
+    # pad the sample batch to a multiple of the mesh "data" axis so the
+    # batch-sharded decode divides evenly (params are already mesh-sharded,
+    # incl. tensor-parallel LM weights when model > 1)
+    data_ax = dict(zip(ctx.mesh.axis_names, ctx.mesh.devices.shape)).get("data", 1)
+    k_pad = -(-k // max(data_ax, 1)) * max(data_ax, 1)
+    pixels_np = pad_to_batch(batch["pixel_values"][:k], k_pad)
+    with ctx.mesh:
+        pixels = normalize_on_device(
+            jnp.asarray(pixels_np), dtype=ctx.activation_dtype)
     toks, lengths = generate_tokens(
         params, ctx.cfg, pixel_values=pixels,
         rng=jax.random.key(epoch),
         gen=GenerationConfig(max_length=50, temperature=0.7, top_p=0.9),
-        activation_dtype=ctx.activation_dtype)
-    toks = np.asarray(toks)
+        activation_dtype=ctx.activation_dtype, mesh=ctx.mesh)
+    toks = np.asarray(toks)[:k]
     bleus, lens, all_words = [], [], []
     for i in range(k):
         text = ctx.tokenizer.decode(toks[i].tolist())
