@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--num-samples", type=int, default=None,
                     help="synthetic dataset size (default: sized to --steps)")
     ap.add_argument("--skip-phase-b", action="store_true")
+    ap.add_argument("--skip-phase-a", action="store_true",
+                    help="resume-only: phase A's dataset + checkpoint must "
+                         "already exist in --workdir")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--preset", default="default",
                     choices=["default", "tiny_test"])
@@ -100,29 +103,42 @@ def main() -> int:
         num_validation_samples=2,
     )
 
-    result = {"steps": args.steps, "batch": args.batch, "seq": args.seq,
-              "backend": jax.default_backend()}
+    out = work / "orchestrated_tpu.json"
+    # resume-only reruns must not clobber phase A's recorded numbers
+    result = json.loads(out.read_text()) if out.exists() else {}
+    result.update({"steps": args.steps, "batch": args.batch, "seq": args.seq,
+                   "backend": jax.default_backend()})
 
     # ---- phase A: fresh 2-epoch run (train + val + ckpt) ----
-    tc = TrainingConfig(num_epochs=2, generate_samples_every_n_epochs=100,
-                        **common)
-    ctx = prepare_environment(tc)
-    rec = RecordingWriter(ctx.writer)
-    ctx.writer = rec
-    t0 = time.time()
-    r = execute_full_training(tc, ctx=ctx)
-    result["phase_a_wall_s"] = time.time() - t0
-    result["phase_a_history"] = r["history"]
-    result["best_val_loss"] = r["best_val_loss"]
+    if not args.skip_phase_a:
+        tc = TrainingConfig(num_epochs=2, generate_samples_every_n_epochs=100,
+                            **common)
+        ctx = prepare_environment(tc)
+        rec = RecordingWriter(ctx.writer)
+        ctx.writer = rec
+        t0 = time.time()
+        r = execute_full_training(tc, ctx=ctx)
+        result["phase_a_wall_s"] = time.time() - t0
+        result["phase_a_history"] = r["history"]
+        result["best_val_loss"] = r["best_val_loss"]
 
-    scalars = rec.scalars
-    result["epoch_samples_per_sec"] = [
-        v for _, v in scalars.get("epoch/samples_per_sec", [])]
-    result["steady_samples_per_sec"] = [
-        v for _, v in scalars.get("perf/samples_per_sec_steady", [])]
-    result["step_ms_mean"] = [v for _, v in scalars.get("perf/step_ms_mean", [])]
-    print(f"PHASE A OK: epoch samples/s={result['epoch_samples_per_sec']}, "
-          f"steady={result['steady_samples_per_sec']}", flush=True)
+        scalars = rec.scalars
+        result["epoch_samples_per_sec"] = [
+            v for _, v in scalars.get("epoch/samples_per_sec", [])]
+        result["steady_samples_per_sec"] = [
+            v for _, v in scalars.get("perf/samples_per_sec_steady", [])]
+        result["step_ms_mean"] = [
+            v for _, v in scalars.get("perf/step_ms_mean", [])]
+        print(f"PHASE A OK: epoch samples/s={result['epoch_samples_per_sec']}, "
+              f"steady={result['steady_samples_per_sec']}", flush=True)
+
+        # free phase A's device state BEFORE phase B builds its own stack:
+        # two full 2.9B stacks do not fit a 16 GB chip (measured: phase B
+        # OOM'd while this result dict still pinned ctx.frozen)
+        import gc
+
+        del r, ctx, rec, scalars
+        gc.collect()
 
     # ---- phase B: resume + sample generation at flagship scale ----
     if not args.skip_phase_b:
@@ -137,7 +153,6 @@ def main() -> int:
         print(f"PHASE B OK: resumed epoch {r_b['history'][0]['epoch']}, "
               f"wall {result['phase_b_wall_s']:.0f}s", flush=True)
 
-    out = work / "orchestrated_tpu.json"
     out.write_text(json.dumps(result, indent=2, default=float))
     print(f"PROOF OK -> {out}", flush=True)
     return 0

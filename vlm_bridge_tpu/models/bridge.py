@@ -86,7 +86,9 @@ def _dropout(x, rate, rng, train):
 def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None):
     """Shared projection + attention core for cross/self attention.
 
-    key_mask: optional [B, S] (1 = attendable key)."""
+    key_mask: optional [B, S] (1 = attendable key). It is a right-padding
+    prefix mask by loader contract, so the per-row lengths are forwarded to
+    qualify padded shapes for the flash kernel."""
     B, T, _ = q_in.shape
     S = kv_in.shape[1]
     d_model = proj["q"].shape[1]
@@ -97,8 +99,13 @@ def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None):
     q = q.reshape(B, T, num_heads, D)
     k = k.reshape(B, S, num_heads, D)
     v = v.reshape(B, S, num_heads, D)
-    mask = key_mask[:, None, :].astype(bool) if key_mask is not None else None
-    out = dot_product_attention(q, k, v, scale=D ** -0.5, mask=mask)
+    mask = None
+    kv_lengths = None
+    if key_mask is not None:
+        mask = key_mask[:, None, :].astype(bool)
+        kv_lengths = key_mask.sum(axis=-1).astype(jnp.int32)
+    out = dot_product_attention(q, k, v, scale=D ** -0.5, mask=mask,
+                                kv_lengths=kv_lengths)
     out = out.reshape(B, T, d_model)
     return linear(out, proj["o"].astype(dtype), proj["o_bias"].astype(dtype))
 

@@ -124,11 +124,14 @@ def _attention_block(
     sin: jax.Array,
     attn_mask: Optional[jax.Array],
     positions: Optional[jax.Array],
+    kv_lengths: Optional[jax.Array] = None,
     return_kv: bool = False,
 ):
     """positions=None means "queries are the trailing T of S positions" —
     the default the attention op (and the flash kernel) assumes; passing the
     arange explicitly would disqualify the Pallas dispatch for nothing.
+    kv_lengths: per-row valid key counts when attn_mask is a right-padding
+    prefix mask (enables the flash kernel on padded training shapes).
     return_kv=True also returns the (rope'd) k and raw v for cache fills."""
     B, T, H = x.shape[0], x.shape[1], cfg.num_heads
     D = cfg.head_dim
@@ -147,6 +150,7 @@ def _attention_block(
         sliding_window=window,
         q_positions=positions,
         kv_positions=positions,
+        kv_lengths=kv_lengths,
     )
     out = linear(out.reshape(B, T, H * D), lp["attn"]["o"])
     if return_kv:
@@ -170,13 +174,14 @@ def _mlp_block(lp: dict, x: jax.Array) -> jax.Array:
 
 def _layer(
     lp: dict, cfg: Gemma2Config, x: jax.Array, layer_idx: int,
-    cos, sin, attn_mask, positions, *, return_kv: bool = False,
+    cos, sin, attn_mask, positions, kv_lengths=None, *,
+    return_kv: bool = False,
 ):
     eps = cfg.rms_norm_eps
     h = rms_norm(x, lp["input_norm"], eps)
     h = _attention_block(lp, cfg, h, layer_idx, cos=cos, sin=sin,
                          attn_mask=attn_mask, positions=positions,
-                         return_kv=return_kv)
+                         kv_lengths=kv_lengths, return_kv=return_kv)
     if return_kv:
         h, k, v = h
     x = x + rms_norm(h, lp["post_attn_norm"], eps)
@@ -214,8 +219,14 @@ def forward_hidden(
     x = inputs_embeds * normalizer
 
     key_mask = None
+    kv_lengths = None
     if attn_mask is not None:
         key_mask = attn_mask[:, None, :].astype(bool)  # [B, 1(q), S] broadcast
+        # the framework's masks are right-padding prefix masks by contract
+        # (loader pads right, decode masks `pos < t`), so the per-row length
+        # carries the same information — and qualifies the padded training
+        # shapes for the flash kernel
+        kv_lengths = attn_mask.sum(axis=-1).astype(jnp.int32)
 
     # default arange positions match the attention op's implicit convention;
     # omitting them keeps the Pallas flash kernel dispatchable
@@ -228,7 +239,7 @@ def forward_hidden(
         )
     for i in range(cfg.num_layers):
         x = layer_fn(params["layers"][str(i)], cfg, x, i,
-                     cos, sin, key_mask, attn_positions)
+                     cos, sin, key_mask, attn_positions, kv_lengths)
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
@@ -347,13 +358,15 @@ def prefill(
     x = inputs_embeds * normalizer
 
     key_mask = attn_mask[:, None, :].astype(bool) if attn_mask is not None else None
+    kv_lengths = (attn_mask.sum(axis=-1).astype(jnp.int32)
+                  if attn_mask is not None else None)
 
     ks, vs = [], []
     for i in range(cfg.num_layers):
         # same layer wiring as forward_hidden (single source of truth),
         # additionally capturing each layer's rope'd K / raw V for the cache
         x, k, v = _layer(params["layers"][str(i)], cfg, x, i,
-                         cos, sin, key_mask, None, return_kv=True)
+                         cos, sin, key_mask, None, kv_lengths, return_kv=True)
         ks.append(k)
         vs.append(v)
 

@@ -46,6 +46,7 @@ def dot_product_attention(
     sliding_window: Optional[int] = None,
     q_positions: Optional[jax.Array] = None,
     kv_positions: Optional[jax.Array] = None,
+    kv_lengths: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-head scaled dot-product attention.
 
@@ -61,6 +62,11 @@ def dot_product_attention(
       q_positions: [B, T] or [T] absolute positions (for causal/window with
         KV caches); defaults to arange offsets assuming aligned suffixes
       kv_positions: [B, S] or [S]
+      kv_lengths: optional [B] int32 — per-row valid key count. Pass this
+        alongside `mask` when (and ONLY when) the mask is a right-padding
+        prefix mask; it lets qualifying shapes dispatch to the flash kernel
+        (which skips each row's padded K blocks). The jnp path ignores it
+        and applies `mask` exactly.
 
     Returns: [B, T, H, D] in q.dtype.
     """
@@ -76,6 +82,7 @@ def dot_product_attention(
             q, k, v, scale=scale, mask=mask, is_causal=is_causal,
             logit_softcap=logit_softcap, sliding_window=sliding_window,
             q_positions=q_positions, kv_positions=kv_positions,
+            kv_lengths=kv_lengths,
         )
         if out is not None:
             return out

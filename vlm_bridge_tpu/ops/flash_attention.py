@@ -40,7 +40,7 @@ INTERPRET = False
 
 def maybe_flash_attention(
     q, k, v, *, scale, mask, is_causal, logit_softcap, sliding_window,
-    q_positions, kv_positions,
+    q_positions, kv_positions, kv_lengths=None,
 ) -> Optional[jax.Array]:
     """Dispatch to the Pallas kernel when supported AND profitable, else None.
 
@@ -50,11 +50,17 @@ def maybe_flash_attention(
     still fit comfortably. The kernel pays off as S grows (memory scales
     O(T·S) per layer in the XLA path vs O(T) here), so dispatch requires
     S >= VLM_BRIDGE_FLASH_MIN_S (default 512).
+
+    kv_lengths: optional [B] int32 per-row valid key counts. When given, it
+    REPLACES a dense right-padding mask (callers assert the prefix form), so
+    padded production shapes qualify for the kernel — and rows shorter than
+    S skip their tail K blocks entirely (the round-1 kernel refused every
+    masked shape and therefore never dispatched in training).
     """
     B, T, H, D = q.shape
     S, KH = k.shape[1], k.shape[2]
-    if mask is not None:
-        return None  # dense masks only occur in tests / tiny paths
+    if mask is not None and kv_lengths is None:
+        return None  # arbitrary dense masks stay on the XLA path
     if q_positions is not None or kv_positions is not None:
         return None
     if D % 128 != 0 and D not in (64,):
@@ -66,6 +72,7 @@ def maybe_flash_attention(
         return flash_attention(
             q, k, v, scale=scale, is_causal=is_causal,
             logit_softcap=logit_softcap, sliding_window=sliding_window,
+            kv_lengths=kv_lengths,
         )
     except Exception as e:
         # fall back to the jnp path, but NOT silently: a kernel that stops
@@ -89,16 +96,26 @@ def flash_attention(
     sliding_window: Optional[int] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    kv_lengths: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """q: [B,T,H,D], k/v: [B,S,KH,D] -> [B,T,H,D]. Differentiable."""
+    """q: [B,T,H,D], k/v: [B,S,KH,D] -> [B,T,H,D]. Differentiable.
+
+    kv_lengths: optional [B] int32 — per-row number of valid (attendable)
+    keys, assuming right padding. Keys at positions >= kv_lengths[b] are
+    masked AND their K blocks are skipped entirely for that row.
+    """
     B, T, H, D = q.shape
     S = k.shape[1]
     block_q = min(block_q, _round_up(T, 8))
     block_k = min(block_k, _round_up(S, 128))
     # causal offset: queries are assumed to be the last T of the S positions
     q_offset = S - T if is_causal else 0
+    if kv_lengths is None:
+        kv_lens = jnp.full((B,), S, jnp.int32)
+    else:
+        kv_lens = jnp.minimum(kv_lengths.astype(jnp.int32), S)
     return _flash_core(
-        q, k, v, scale, is_causal, logit_softcap, sliding_window,
+        q, k, v, kv_lens, scale, is_causal, logit_softcap, sliding_window,
         q_offset, block_q, block_k)
 
 
@@ -111,28 +128,32 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _flash_core(q, k, v, scale, is_causal, logit_softcap, sliding_window,
-                q_offset, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, scale, is_causal, logit_softcap,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _flash_core(q, k, v, kv_lens, scale, is_causal, logit_softcap,
+                sliding_window, q_offset, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, kv_lens, scale, is_causal, logit_softcap,
                         sliding_window, q_offset, block_q, block_k)
     return out
 
 
-def _flash_core_fwd(q, k, v, scale, is_causal, logit_softcap, sliding_window,
-                    q_offset, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, scale, is_causal, logit_softcap,
+def _flash_core_fwd(q, k, v, kv_lens, scale, is_causal, logit_softcap,
+                    sliding_window, q_offset, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, kv_lens, scale, is_causal, logit_softcap,
                           sliding_window, q_offset, block_q, block_k)
-    return out, (q, k, v, out, lse)
+    return out, (q, k, v, kv_lens, out, lse)
 
 
 def _flash_core_bwd(scale, is_causal, logit_softcap, sliding_window,
                     q_offset, block_q, block_k, res, dout):
-    q, k, v, out, lse = res
+    import numpy as np
+
+    q, k, v, kv_lens, out, lse = res
     dq, dk, dv = _flash_bwd(
-        q, k, v, out, lse, dout, scale, is_causal, logit_softcap,
+        q, k, v, kv_lens, out, lse, dout, scale, is_causal, logit_softcap,
         sliding_window, q_offset, block_q, block_k)
-    return dq, dk, dv
+    # int32 primal -> float0 cotangent (required type for integer args)
+    d_lens = np.zeros(kv_lens.shape, jax.dtypes.float0)
+    return dq, dk, dv, d_lens
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -156,8 +177,8 @@ def _pad_qkv(q, k, v, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 
-def _flash_fwd(q, k, v, scale, is_causal, logit_softcap, sliding_window,
-               q_offset, block_q, block_k):
+def _flash_fwd(q, k, v, kv_lens, scale, is_causal, logit_softcap,
+               sliding_window, q_offset, block_q, block_k):
     B, T0, H, D = q.shape
     KH = k.shape[2]
     G = H // KH
@@ -167,50 +188,59 @@ def _flash_fwd(q, k, v, scale, is_causal, logit_softcap, sliding_window,
     qh = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     kh = k.transpose(0, 2, 1, 3).reshape(B * KH, S, D)
     vh = v.transpose(0, 2, 1, 3).reshape(B * KH, S, D)
+    # per-row valid key count, clipped to the UNPADDED S (padding rows added
+    # by _pad_qkv are always invalid); prefetched to SMEM, one entry per batch
+    kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), S_real)
 
     grid = (B * H, T // block_q, S // block_k)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, is_causal=is_causal,
         logit_softcap=logit_softcap, sliding_window=sliding_window,
-        kv_valid_len=S_real, q_offset=q_offset,
+        num_heads=H, q_offset=q_offset,
         block_q=block_q, block_k=block_k, num_k_blocks=grid[2])
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, i, j, G=G: (h // G, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, i, j, G=G: (h // G, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j: (h, i, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda h, i, j, lens: (h, i, 0)),
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, i, j, lens, G=G: (h // G, j, 0)),
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, i, j, lens, G=G: (h // G, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, D), lambda h, i, j, lens: (h, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda h, i, j, lens: (h, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, D), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
             # per-row logsumexp, broadcast over 128 lanes (TPU tiling minimum)
             jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
         interpret=INTERPRET,
-    )(qh, kh, vh)
+    )(kv_lens, qh, kh, vh)
 
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)[:, :T_real]
     return out, lse  # lse stays padded [B*H, T]; bwd uses same padding
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
-    *, scale, is_causal, logit_softcap, sliding_window, kv_valid_len,
+    lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
+    *, scale, is_causal, logit_softcap, sliding_window, num_heads,
     q_offset, block_q, block_k, num_k_blocks,
 ):
     j = pl.program_id(2)
     qi = pl.program_id(1)
+    kv_valid_len = lens_ref[pl.program_id(0) // num_heads]
 
     @pl.when(j == 0)
     def _init():
@@ -278,8 +308,8 @@ def _fwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _flash_bwd(q, k, v, out, lse, dout, scale, is_causal, logit_softcap,
-               sliding_window, q_offset, block_q, block_k):
+def _flash_bwd(q, k, v, kv_lens, out, lse, dout, scale, is_causal,
+               logit_softcap, sliding_window, q_offset, block_q, block_k):
     B, T0, H, D = q.shape
     KH = k.shape[2]
     G = H // KH
@@ -287,6 +317,7 @@ def _flash_bwd(q, k, v, out, lse, dout, scale, is_causal, logit_softcap,
     dout = jnp.pad(
         dout, ((0, 0), (0, q.shape[1] - T_real), (0, 0), (0, 0)))
     T, S = q.shape[1], k.shape[1]
+    kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), S_real)
 
     qh = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     kh = k.transpose(0, 2, 1, 3).reshape(B * KH, S, D)
@@ -302,53 +333,64 @@ def _flash_bwd(q, k, v, out, lse, dout, scale, is_causal, logit_softcap,
 
     common = dict(
         scale=scale, is_causal=is_causal, logit_softcap=logit_softcap,
-        sliding_window=sliding_window, kv_valid_len=S_real, q_offset=q_offset,
+        sliding_window=sliding_window, num_heads=H, q_offset=q_offset,
         block_q=block_q, block_k=block_k)
 
     # ---- dq: grid over (head, q block), loop k blocks -------------------
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, num_k_blocks=S // block_k, **common),
-        grid=(B * H, T // block_q, S // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, i, j, G=G: (h // G, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, i, j, G=G: (h // G, j, 0)),
-            pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j: (h, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda h, i, j: (h, i, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, T // block_q, S // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda h, i, j, lens: (h, i, 0)),
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, i, j, lens, G=G: (h // G, j, 0)),
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, i, j, lens, G=G: (h // G, j, 0)),
+                pl.BlockSpec((1, block_q, D), lambda h, i, j, lens: (h, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda h, i, j, lens: (h, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda h, i, j, lens: (h, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D),
+                                   lambda h, i, j, lens: (h, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((B * H, T, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=INTERPRET,
-    )(qh, kh, vh, doh, lse, delta)
+    )(kv_lens, qh, kh, vh, doh, lse, delta)
 
     # ---- dk/dv: grid over (head, k block), loop q blocks ----------------
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, num_q_blocks=T // block_q, **common),
-        grid=(B * H, S // block_k, T // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, j, i: (h, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, j, i, G=G: (h // G, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, j, i, G=G: (h // G, j, 0)),
-            pl.BlockSpec((1, block_q, D), lambda h, j, i: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, j, i: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, j, i: (h, i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_k, D), lambda h, j, i: (h, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, j, i: (h, j, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, S // block_k, T // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda h, j, i, lens: (h, i, 0)),
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, j, i, lens, G=G: (h // G, j, 0)),
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, j, i, lens, G=G: (h // G, j, 0)),
+                pl.BlockSpec((1, block_q, D), lambda h, j, i, lens: (h, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda h, j, i, lens: (h, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda h, j, i, lens: (h, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, D), lambda h, j, i, lens: (h, j, 0)),
+                pl.BlockSpec((1, block_k, D), lambda h, j, i, lens: (h, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
             jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, D), jnp.float32),
-            pltpu.VMEM((block_k, D), jnp.float32),
-        ],
         interpret=INTERPRET,
-    )(qh, kh, vh, doh, lse, delta)
+    )(kv_lens, qh, kh, vh, doh, lse, delta)
 
     dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)[:, :T_real]
     # group-sum GQA head gradients: [B, H, S, D] -> [B, KH, S, D]
@@ -388,12 +430,13 @@ def _recompute_p(q, k, lse_row, *, scale, logit_softcap, is_causal,
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
-    *, scale, is_causal, logit_softcap, sliding_window, kv_valid_len,
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
+    *, scale, is_causal, logit_softcap, sliding_window, num_heads,
     q_offset, block_q, block_k, num_k_blocks,
 ):
     j = pl.program_id(2)
     qi = pl.program_id(1)
+    kv_valid_len = lens_ref[pl.program_id(0) // num_heads]
 
     @pl.when(j == 0)
     def _init():
@@ -431,13 +474,14 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, scale, is_causal, logit_softcap, sliding_window, kv_valid_len,
+    *, scale, is_causal, logit_softcap, sliding_window, num_heads,
     q_offset, block_q, block_k, num_q_blocks,
 ):
     i = pl.program_id(2)   # q block (inner)
     kj = pl.program_id(1)  # k block
+    kv_valid_len = lens_ref[pl.program_id(0) // num_heads]
 
     @pl.when(i == 0)
     def _init():

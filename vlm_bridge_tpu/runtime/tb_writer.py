@@ -164,6 +164,84 @@ class NullWriter:
         pass
 
 
+def _parse_fields(buf: bytes):
+    """Decode one protobuf message level: yields (field, wire, value)."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = key >> 3, key & 7
+        if wire == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wire, v
+        elif wire == 1:  # 64-bit
+            yield field, wire, struct.unpack("<d", buf[i:i + 8])[0]
+            i += 8
+        elif wire == 5:  # 32-bit
+            yield field, wire, struct.unpack("<f", buf[i:i + 4])[0]
+            i += 4
+        elif wire == 2:  # length-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wire, buf[i:i + ln]
+            i += ln
+        else:  # pragma: no cover - never written by this module
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def read_scalars(path: str | Path):
+    """Decode scalar events back out of an event file written by this module.
+
+    Returns {tag: [(step, value), ...]} — the inverse of add_scalar; used by
+    offline analysis (scripts/tpu_train_proof.py) and tests.
+    """
+    out: dict = {}
+    for payload in read_events(path):
+        step = 0
+        summary = None
+        for field, wire, v in _parse_fields(payload):
+            if field == 2 and wire == 0:
+                step = v
+            elif field == 5 and wire == 2:
+                summary = v
+        if summary is None:
+            continue
+        for field, wire, v in _parse_fields(summary):
+            if field == 1 and wire == 2:
+                tag, value = None, None
+                for f2, w2, v2 in _parse_fields(v):
+                    if f2 == 1 and w2 == 2:
+                        tag = v2.decode()
+                    elif f2 == 2 and w2 == 5:
+                        value = v2
+                if tag is not None and value is not None:
+                    out.setdefault(tag, []).append((step, value))
+    return out
+
+
 def read_events(path: str | Path):
     """Tiny TFRecord reader for tests: yields raw event payload bytes."""
     with open(path, "rb") as f:
