@@ -27,9 +27,12 @@ tpu_ssh() {
 
 case "${1:-}" in
   setup)
-    gcloud compute tpus tpu-vm scp scripts/setup_tpu_vm.sh \
-      "$TPU_NAME":setup_tpu_vm.sh --zone "$ZONE" $PROJECT_FLAG
-    tpu_ssh --command "bash setup_tpu_vm.sh"
+    # Push the LOCAL checkout (tracked files only) so the VM never needs a
+    # clone URL, then run the bootstrap against it.
+    tpu_ssh --command "mkdir -p $WORKDIR"
+    git ls-files -z | tar --null -czf - -T - | \
+      tpu_ssh --command "tar -xzf - -C $WORKDIR"
+    tpu_ssh --command "WORKDIR=\$HOME/$WORKDIR bash $WORKDIR/scripts/setup_tpu_vm.sh"
     ;;
   monitor)
     echo "TensorBoard at http://localhost:6006 (ctrl-c to stop)"

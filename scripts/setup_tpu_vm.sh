@@ -11,7 +11,7 @@
 # push it there with scripts/control_tpu_local.sh setup.
 set -euo pipefail
 
-REPO_URL="${REPO_URL:-https://github.com/your-org/vlm-bridge-tpu.git}"
+REPO_URL="${REPO_URL:-}"
 WORKDIR="${WORKDIR:-$HOME/vlm-bridge-tpu}"
 DATA_DIR="${DATA_DIR:-$HOME/data/groundcap}"
 CONFIG="${CONFIG:-config/training-default.yaml}"
@@ -21,11 +21,20 @@ echo "== system deps =="
 sudo apt-get update -qq && sudo apt-get install -y -qq git tmux rsync >/dev/null
 
 echo "== repo =="
-if [ ! -d "$WORKDIR/.git" ]; then
+# Preferred path: scripts/control_tpu_local.sh setup rsyncs the local
+# checkout into $WORKDIR before running this script, so no clone is needed.
+# REPO_URL is only required when bootstrapping a bare VM from a git remote.
+if [ ! -f "$WORKDIR/pyproject.toml" ]; then
+  if [ -z "$REPO_URL" ]; then
+    echo "error: no checkout at $WORKDIR and REPO_URL is unset." >&2
+    echo "Either push the tree with scripts/control_tpu_local.sh setup," >&2
+    echo "or set REPO_URL=<git url of your fork> and re-run." >&2
+    exit 1
+  fi
   git clone "$REPO_URL" "$WORKDIR"
 fi
 cd "$WORKDIR"
-git pull --ff-only || true
+if [ -d .git ]; then git pull --ff-only || true; fi
 
 echo "== python deps (TPU jax) =="
 pip install -q -U pip
