@@ -94,10 +94,17 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
     n_chips = 1
     params = full_model.init(jax.random.key(0), cfg)
     if quantize:
-        from vlm_bridge_tpu.models import gemma2
+        parts = quantize.split(",")
+        lm_parts = tuple(p for p in parts if p != "bridge")
+        if lm_parts:
+            from vlm_bridge_tpu.models import gemma2
 
-        params["lm"] = gemma2.quantize_params(
-            params["lm"], parts=tuple(quantize.split(",")))
+            params["lm"] = gemma2.quantize_params(
+                params["lm"], parts=lm_parts)
+        if "bridge" in parts:
+            from vlm_bridge_tpu.models import bridge
+
+            params["bridge"] = bridge.quantize_decode_params(params["bridge"])
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(
         rng.normal(0, 1, (batch_size, cfg.image_size, cfg.image_size, 3)),
@@ -130,7 +137,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--decode-batch", type=int, default=32)
+    ap.add_argument("--decode-batch", type=int, default=64,
+                    help="serving batch; 64 amortizes the weight stream "
+                         "over 2x the tokens vs 32 (the measured default "
+                         "recipe)")
     ap.add_argument("--decode-len", type=int, default=50)
     ap.add_argument("--skip-decode", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
@@ -140,9 +150,9 @@ def main():
     ap.add_argument("--no-loss-remat", action="store_true",
                     help="save per-chunk CE logits instead of recomputing "
                          "them in the backward")
-    ap.add_argument("--quantize", default="embedding,mlp,attn",
-                    help="int8-quantize LM weight groups for the decode "
-                         "bench: comma list of embedding,mlp,attn; "
+    ap.add_argument("--quantize", default="embedding,mlp,attn,bridge",
+                    help="int8-quantize weight groups for the decode "
+                         "bench: comma list of embedding,mlp,attn,bridge; "
                          "'' for bf16 decode")
     ap.add_argument("--bypass-bridge", action="store_true",
                     help="diagnostic: decode without the bridge to measure "

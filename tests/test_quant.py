@@ -156,6 +156,67 @@ def test_int8_mlp_fused_matches_unfused():
         quant.INTERPRET = False
 
 
+def test_int8_ffn_fused_matches_unfused():
+    from vlm_bridge_tpu.ops.quant import int8_ffn
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (4, 64)), jnp.float32)
+    fc1 = quantize_int8(jnp.asarray(rng.normal(0, 0.1, (64, 128)), jnp.float32), axis=0)
+    fc2 = quantize_int8(jnp.asarray(rng.normal(0, 0.1, (128, 64)), jnp.float32), axis=0)
+    b1 = jnp.asarray(rng.normal(0, 0.05, (128,)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.05, (64,)), jnp.float32)
+
+    def ref(x):
+        g = x @ dequantize(fc1, axis=0) + b1
+        h = jax.nn.gelu(g, approximate=False)  # exact GELU (bridge FFN)
+        return h @ dequantize(fc2, axis=0) + b2
+
+    got = np.asarray(int8_ffn(x, fc1, b1, fc2, b2))
+    np.testing.assert_allclose(got, np.asarray(ref(x)), atol=2e-4, rtol=2e-3)
+
+    quant.INTERPRET = True
+    try:
+        got_k = np.asarray(int8_ffn(x, fc1, b1, fc2, b2, block_f=64))
+        np.testing.assert_allclose(
+            got_k, np.asarray(ref(_bf16(x))), atol=5e-3, rtol=2e-2)
+    finally:
+        quant.INTERPRET = False
+
+
+def test_quantized_bridge_decode_close():
+    """Fast decode with an int8 bridge (fused self-qkv + fused FFN) stays
+    within quantization noise of the f32-bridge decode and agrees on the
+    first greedy token."""
+    from vlm_bridge_tpu.inference.generate import (
+        GenerationConfig, generate_tokens)
+    from vlm_bridge_tpu.models import bridge
+
+    cfg = VLMConfig.tiny_test()
+    params = full_model.init(jax.random.key(0), cfg, frozen_dtype=jnp.float32)
+    qparams = dict(params)
+    qparams["bridge"] = bridge.quantize_decode_params(params["bridge"])
+    # structural checks: fused qkv present, cross k/v left unquantized
+    b0 = qparams["bridge"]["blocks"]["0"]
+    assert isinstance(b0["self"]["qkv"], dict)
+    assert "q" not in b0["self"]
+    assert not isinstance(b0["cross"]["k"], dict)
+    assert isinstance(b0["ffn"]["fc1"], dict)
+
+    vision = full_model.encode_image(params, cfg, jnp.asarray(
+        np.random.default_rng(11).normal(
+            0, 1, (2, cfg.image_size, cfg.image_size, 3)), jnp.float32))
+    gen = GenerationConfig(max_length=6, greedy=True)
+    toks_f, _ = generate_tokens(params=params, cfg=cfg,
+                                vision_features=vision, gen=gen,
+                                activation_dtype=jnp.float32)
+    toks_q, _ = generate_tokens(params=qparams, cfg=cfg,
+                                vision_features=vision, gen=gen,
+                                activation_dtype=jnp.float32)
+    toks_f, toks_q = np.asarray(toks_f), np.asarray(toks_q)
+    assert toks_q.shape == toks_f.shape
+    np.testing.assert_array_equal(toks_f[:, 1], toks_q[:, 1])
+
+
 def test_quantize_parts_selective(lm_pair):
     cfg, params, _ = lm_pair
     q = gemma2.quantize_params(params, parts=("embedding", "mlp"))

@@ -55,6 +55,11 @@ class GenerationConfig:
     early_stop: bool = False      # fast mode: while_loop that exits once all
                                   # rows hit EOS (vs fixed-length scan); wins
                                   # with real weights where captions end early
+    kv_quant: bool = False        # int8 Gemma KV cache (per-key-vector
+                                  # scales; see gemma2.KVCache). Halves cache
+                                  # HBM — the long-context / gemma2_9b lever;
+                                  # at caption lengths it is quality-neutral
+                                  # but not faster
 
 
 # ---------------------------------------------------------------------------
@@ -93,11 +98,23 @@ def _build_cross_cache(bridge_params, cfg: BridgeConfig, vision, max_len, dtype)
     )
 
 
+def _w(w, dtype):
+    """Weight for `linear`: int8-quantized dicts pass through (the kernel
+    dequantizes in-register); plain arrays are cast to the activation
+    dtype."""
+    return w if isinstance(w, dict) else w.astype(dtype)
+
+
 def _bridge_decode_step(
     bridge_params, cfg: BridgeConfig, cache: BridgeCache,
     embed_t: jax.Array, t: jax.Array,
 ) -> Tuple[jax.Array, BridgeCache]:
-    """Bridge forward for ONE new position t. embed_t: [B, 1, ld]."""
+    """Bridge forward for ONE new position t. embed_t: [B, 1, ld].
+
+    Accepts either plain (bf16/f32) or int8-quantized bridge params
+    (models/bridge.quantize_decode_params): quantized blocks carry a fused
+    self-attention "qkv" weight (one kernel launch) and run the FFN through
+    the fused `int8_ffn` kernel."""
     dtype = embed_t.dtype
     B = embed_t.shape[0]
     ld = cfg.language_dim
@@ -112,31 +129,48 @@ def _bridge_decode_step(
 
         # cross-attention over (precomputed) vision K/V — no mask
         h = layer_norm(x, bp["ln_cross"]["scale"], bp["ln_cross"]["bias"], eps)
-        q = linear(h, bp["cross"]["q"].astype(dtype), bp["cross"]["q_bias"].astype(dtype))
+        q = linear(h, _w(bp["cross"]["q"], dtype), bp["cross"]["q_bias"].astype(dtype))
         q = q.reshape(B, 1, Hc, Dc)
         attn = dot_product_attention(
             q, cache.cross_k[b], cache.cross_v[b], scale=Dc ** -0.5)
         attn = linear(attn.reshape(B, 1, ld),
-                      bp["cross"]["o"].astype(dtype), bp["cross"]["o_bias"].astype(dtype))
+                      _w(bp["cross"]["o"], dtype), bp["cross"]["o_bias"].astype(dtype))
         x = x + attn
 
         # causal self-attention against the running prefix cache
         h = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"], eps)
-        q = linear(h, bp["self"]["q"].astype(dtype), bp["self"]["q_bias"].astype(dtype)).reshape(B, 1, Hs, Ds)
-        k = linear(h, bp["self"]["k"].astype(dtype), bp["self"]["k_bias"].astype(dtype)).reshape(B, 1, Hs, Ds)
-        v = linear(h, bp["self"]["v"].astype(dtype), bp["self"]["v_bias"].astype(dtype)).reshape(B, 1, Hs, Ds)
+        if "qkv" in bp["self"]:
+            qkv_bias = jnp.concatenate(
+                [bp["self"]["q_bias"], bp["self"]["k_bias"],
+                 bp["self"]["v_bias"]]).astype(dtype)
+            qkv = linear(h, bp["self"]["qkv"], qkv_bias)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = linear(h, _w(bp["self"]["q"], dtype), bp["self"]["q_bias"].astype(dtype))
+            k = linear(h, _w(bp["self"]["k"], dtype), bp["self"]["k_bias"].astype(dtype))
+            v = linear(h, _w(bp["self"]["v"], dtype), bp["self"]["v_bias"].astype(dtype))
+        q = q.reshape(B, 1, Hs, Ds)
+        k = k.reshape(B, 1, Hs, Ds)
+        v = v.reshape(B, 1, Hs, Ds)
         sk = jax.lax.dynamic_update_slice(sk, k[None], (b, 0, t, 0, 0))
         sv = jax.lax.dynamic_update_slice(sv, v[None], (b, 0, t, 0, 0))
         attn = decode_attention(q, sk[b], sv[b], t + 1, scale=Ds ** -0.5)
         attn = linear(attn.reshape(B, 1, ld),
-                      bp["self"]["o"].astype(dtype), bp["self"]["o_bias"].astype(dtype))
+                      _w(bp["self"]["o"], dtype), bp["self"]["o_bias"].astype(dtype))
         x = x + attn
 
         # FFN
         h = layer_norm(x, bp["ln_ffn"]["scale"], bp["ln_ffn"]["bias"], eps)
-        h = linear(h, bp["ffn"]["fc1"].astype(dtype), bp["ffn"]["fc1_bias"].astype(dtype))
-        h = gelu_exact(h)
-        h = linear(h, bp["ffn"]["fc2"].astype(dtype), bp["ffn"]["fc2_bias"].astype(dtype))
+        if isinstance(bp["ffn"]["fc1"], dict):
+            from vlm_bridge_tpu.ops.quant import int8_ffn
+
+            h = int8_ffn(h.reshape(B, ld), bp["ffn"]["fc1"],
+                         bp["ffn"]["fc1_bias"], bp["ffn"]["fc2"],
+                         bp["ffn"]["fc2_bias"]).reshape(B, 1, ld)
+        else:
+            h = linear(h, bp["ffn"]["fc1"].astype(dtype), bp["ffn"]["fc1_bias"].astype(dtype))
+            h = gelu_exact(h)
+            h = linear(h, bp["ffn"]["fc2"].astype(dtype), bp["ffn"]["fc2_bias"].astype(dtype))
         x = x + h
 
     return x, BridgeCache(sk, sv, cache.cross_k, cache.cross_v)
@@ -158,13 +192,22 @@ def _generate_fast(
     lm_cfg, br_cfg = cfg.lm, cfg.bridge
 
     vision = vision.astype(activation_dtype)
+
     # Cast the (possibly f32 master) bridge weights ONCE: casting inside the
     # scan body would re-stream all 158M params through HBM every token.
-    params = {**params, "bridge": jax.tree.map(
-        lambda p: p.astype(activation_dtype), params["bridge"])}
+    # int8-quantized leaves and their 1-d scales/biases pass through (the
+    # int8 kernels dequantize in-register; 1-d vectors are traffic-free).
+    def _cast_leaf(p):
+        if p.ndim < 2 or not jnp.issubdtype(p.dtype, jnp.floating):
+            return p
+        return p.astype(activation_dtype)
+
+    params = {**params, "bridge": jax.tree.map(_cast_leaf, params["bridge"])}
     bridge_cache = _build_cross_cache(
         params["bridge"], br_cfg, vision, L, activation_dtype)
-    kv_cache = gemma2.KVCache.zeros(lm_cfg, B, L, dtype=activation_dtype)
+    kv_cache = gemma2.KVCache.zeros(
+        lm_cfg, B, L,
+        dtype=jnp.int8 if gen.kv_quant else activation_dtype)
 
     bos = jnp.full((B,), lm_cfg.bos_token_id, jnp.int32)
 
@@ -177,7 +220,7 @@ def _generate_fast(
             bridged, bridge_cache = _bridge_decode_step(
                 params["bridge"], br_cfg, bridge_cache, embed, t)
         hidden, kv_cache = gemma2.decode_step(
-            params["lm"], lm_cfg, bridged, kv_cache)
+            params["lm"], lm_cfg, bridged, kv_cache, position=t)
         logits = gemma2.logits_from_hidden(params["lm"], lm_cfg, hidden)[:, 0]
         # fold_in by the position being GENERATED (t+1) so fast and exact
         # modes draw identical random streams per token

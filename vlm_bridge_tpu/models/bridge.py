@@ -76,6 +76,59 @@ def num_params(params: dict) -> int:
     return sum(p.size for p in jax.tree.leaves(params))
 
 
+def quantize_decode_params(params: dict) -> dict:
+    """Int8 weight-only quantization of the bridge for the serving decode
+    path (inference/generate._bridge_decode_step dispatches on the dict
+    weight form; ops/layers.linear handles plain projections).
+
+    Following the measured launch-count lesson from the Gemma decoder
+    (ops/quant.py): self-attention q/k/v are fused into ONE concatenated
+    int8 weight (one kernel launch) and the FFN runs as the fused
+    `int8_ffn` kernel. Cross-attention k/v stay unquantized — they run once
+    per generation (cross K/V precompute), not once per token. Biases and
+    LayerNorms stay f32.
+
+    Training and the exact parity mode keep the original f32 params; this
+    is a serving-time transformation only.
+    """
+    from vlm_bridge_tpu.ops.quant import quantize_int8
+
+    blocks = {}
+    for name, bp in params["blocks"].items():
+        f32 = lambda w: jnp.asarray(w, jnp.float32)
+        qkv = jnp.concatenate(
+            [f32(bp["self"]["q"]), f32(bp["self"]["k"]), f32(bp["self"]["v"])],
+            axis=1)
+        blocks[name] = {
+            "cross": {
+                "q": quantize_int8(bp["cross"]["q"], axis=0),
+                "q_bias": f32(bp["cross"]["q_bias"]),
+                "k": bp["cross"]["k"], "k_bias": bp["cross"]["k_bias"],
+                "v": bp["cross"]["v"], "v_bias": bp["cross"]["v_bias"],
+                "o": quantize_int8(bp["cross"]["o"], axis=0),
+                "o_bias": f32(bp["cross"]["o_bias"]),
+            },
+            "self": {
+                "qkv": quantize_int8(qkv, axis=0),
+                "q_bias": f32(bp["self"]["q_bias"]),
+                "k_bias": f32(bp["self"]["k_bias"]),
+                "v_bias": f32(bp["self"]["v_bias"]),
+                "o": quantize_int8(bp["self"]["o"], axis=0),
+                "o_bias": f32(bp["self"]["o_bias"]),
+            },
+            "ffn": {
+                "fc1": quantize_int8(bp["ffn"]["fc1"], axis=0),
+                "fc1_bias": f32(bp["ffn"]["fc1_bias"]),
+                "fc2": quantize_int8(bp["ffn"]["fc2"], axis=0),
+                "fc2_bias": f32(bp["ffn"]["fc2_bias"]),
+            },
+            "ln_cross": bp["ln_cross"],
+            "ln_self": bp["ln_self"],
+            "ln_ffn": bp["ln_ffn"],
+        }
+    return {"blocks": blocks}
+
+
 def _dropout(x, rate, rng, train):
     if not train or rate == 0.0 or rng is None:
         return x
@@ -83,19 +136,35 @@ def _dropout(x, rate, rng, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def _w(w, dtype):
+    """int8-quantized dicts pass through to `linear`'s kernel dispatch;
+    plain arrays are cast to the activation dtype."""
+    return w if isinstance(w, dict) else w.astype(dtype)
+
+
 def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None):
     """Shared projection + attention core for cross/self attention.
+
+    Accepts int8-quantized projections (models/bridge.quantize_decode_params),
+    including the fused self-attention "qkv" weight form.
 
     key_mask: optional [B, S] (1 = attendable key). It is a right-padding
     prefix mask by loader contract, so the per-row lengths are forwarded to
     qualify padded shapes for the flash kernel."""
     B, T, _ = q_in.shape
     S = kv_in.shape[1]
-    d_model = proj["q"].shape[1]
+    if "qkv" in proj:  # fused self-attention weights (q_in is kv_in)
+        d_model = q_in.shape[-1]
+        qkv_bias = jnp.concatenate(
+            [proj["q_bias"], proj["k_bias"], proj["v_bias"]]).astype(dtype)
+        q, k, v = jnp.split(linear(q_in, proj["qkv"], qkv_bias), 3, axis=-1)
+    else:
+        d_model = (proj["q"]["w_int8"] if isinstance(proj["q"], dict)
+                   else proj["q"]).shape[1]
+        q = linear(q_in, _w(proj["q"], dtype), proj["q_bias"].astype(dtype))
+        k = linear(kv_in, _w(proj["k"], dtype), proj["k_bias"].astype(dtype))
+        v = linear(kv_in, _w(proj["v"], dtype), proj["v_bias"].astype(dtype))
     D = d_model // num_heads
-    q = linear(q_in, proj["q"].astype(dtype), proj["q_bias"].astype(dtype))
-    k = linear(kv_in, proj["k"].astype(dtype), proj["k_bias"].astype(dtype))
-    v = linear(kv_in, proj["v"].astype(dtype), proj["v_bias"].astype(dtype))
     q = q.reshape(B, T, num_heads, D)
     k = k.reshape(B, S, num_heads, D)
     v = v.reshape(B, S, num_heads, D)
@@ -107,7 +176,7 @@ def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None):
     out = dot_product_attention(q, k, v, scale=D ** -0.5, mask=mask,
                                 kv_lengths=kv_lengths)
     out = out.reshape(B, T, d_model)
-    return linear(out, proj["o"].astype(dtype), proj["o_bias"].astype(dtype))
+    return linear(out, _w(proj["o"], dtype), proj["o_bias"].astype(dtype))
 
 
 def forward(
@@ -148,10 +217,10 @@ def forward(
         x = x + _dropout(h, cfg.dropout, rngs[3], train)
 
         h = layer_norm(x, bp["ln_ffn"]["scale"], bp["ln_ffn"]["bias"], eps)
-        h = linear(h, bp["ffn"]["fc1"].astype(dtype), bp["ffn"]["fc1_bias"].astype(dtype))
+        h = linear(h, _w(bp["ffn"]["fc1"], dtype), bp["ffn"]["fc1_bias"].astype(dtype))
         h = gelu_exact(h)
         h = _dropout(h, cfg.dropout, rngs[0], train)
-        h = linear(h, bp["ffn"]["fc2"].astype(dtype), bp["ffn"]["fc2_bias"].astype(dtype))
+        h = linear(h, _w(bp["ffn"]["fc2"], dtype), bp["ffn"]["fc2_bias"].astype(dtype))
         h = _dropout(h, cfg.dropout, rngs[1], train)
         x = x + h
 

@@ -32,19 +32,46 @@ from vlm_bridge_tpu.ops.layers import apply_rope, gelu_tanh, linear, rms_norm, r
 
 
 class KVCache(NamedTuple):
-    """Preallocated decode cache."""
+    """Preallocated decode cache.
+
+    dtype=jnp.int8 stores K/V quantized per key-vector (symmetric absmax
+    over D, scales in `k_scale`/`v_scale` [L, B, Smax, KH]). Dequantization
+    folds into the attention algebra exactly — `q·(k_i8·s) = (q·k_i8)·s`
+    per key and `p@(v_i8·s) = (p·s)@v_i8` — so no bf16 copy of the cache is
+    ever materialized. Halves cache HBM (the lever for long-context /
+    gemma2_9b serving; at caption lengths the cache is not the bottleneck).
+    """
 
     k: jax.Array  # [L, B, Smax, KH, D]
     v: jax.Array  # [L, B, Smax, KH, D]
     length: jax.Array  # [B] int32 — valid positions per row (ragged prompts)
+    k_scale: Optional[jax.Array] = None  # [L, B, Smax, KH] f32 when k is int8
+    v_scale: Optional[jax.Array] = None
 
     @staticmethod
     def zeros(cfg: Gemma2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        scale = (jnp.zeros(shape[:-1], jnp.float32)
+                 if dtype == jnp.int8 else None)
         return KVCache(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
             length=jnp.zeros((batch,), jnp.int32),
+            k_scale=scale, v_scale=scale,
         )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-vector int8 over the trailing (head) dim.
+
+    x: [..., D] -> (int8 [..., D], f32 scale [...])."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
+    q = jnp.round(xf / scale[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
 
 def init(rng: jax.Array, cfg: Gemma2Config, dtype=jnp.bfloat16) -> dict:
@@ -372,15 +399,24 @@ def prefill(
 
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
-    k_stack = jnp.stack(ks).astype(cache.k.dtype)  # [L, B, T, KH, D]
-    v_stack = jnp.stack(vs).astype(cache.v.dtype)
+    k_stack = jnp.stack(ks)  # [L, B, T, KH, D]
+    v_stack = jnp.stack(vs)
+    ks_scale, vs_scale = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        k_stack, k_sc = quantize_kv(k_stack)
+        v_stack, v_sc = quantize_kv(v_stack)
+        ks_scale = jax.lax.dynamic_update_slice(ks_scale, k_sc, (0, 0, 0, 0))
+        vs_scale = jax.lax.dynamic_update_slice(vs_scale, v_sc, (0, 0, 0, 0))
+    else:
+        k_stack = k_stack.astype(cache.k.dtype)
+        v_stack = v_stack.astype(cache.v.dtype)
     new_k = jax.lax.dynamic_update_slice(cache.k, k_stack, (0, 0, 0, 0, 0))
     new_v = jax.lax.dynamic_update_slice(cache.v, v_stack, (0, 0, 0, 0, 0))
     if attn_mask is not None:
         lengths = attn_mask.sum(axis=1).astype(jnp.int32)
     else:
         lengths = jnp.full((B,), T, jnp.int32)
-    return hidden, KVCache(new_k, new_v, lengths)
+    return hidden, KVCache(new_k, new_v, lengths, ks_scale, vs_scale)
 
 
 def decode_step(
@@ -388,24 +424,42 @@ def decode_step(
     cfg: Gemma2Config,
     token_embeds: jax.Array,
     cache: KVCache,
+    *,
+    position: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One decode step. token_embeds: [B, 1, H] raw embedding of the new token.
 
     Returns (hidden [B, 1, H], updated cache). Each row's new token sits at
     its OWN position cache.length[b] (rows may be ragged after a padded
     prefill).
+
+    position: optional SCALAR position shared by every row (the no-prompt
+    generation loop, where all rows decode in lockstep). This swaps the
+    per-row cache scatter — a real gather/scatter op per layer — for a
+    `dynamic_update_slice`, which XLA performs in place. cache.length must
+    equal position in every row; this is not checked.
     """
     B = token_embeds.shape[0]
-    pos = cache.length  # [B]
-    positions = pos[:, None]
+    uniform = position is not None
+    pos = position if uniform else cache.length  # [] or [B]
+    positions = jnp.reshape(pos, (-1, 1))  # [1,1] or [B,1]
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
     normalizer = jnp.asarray(cfg.hidden_size ** 0.5, token_embeds.dtype)
     x = token_embeds * normalizer
 
     new_len = pos + 1
     ck, cv = cache.k, cache.v
+    cks, cvs = cache.k_scale, cache.v_scale
     H, D = cfg.num_heads, cfg.head_dim
     rows = jnp.arange(B)
+
+    def write(buf, val, layer):
+        # val: [B, KH_or_1...] per-row payload (trailing dims match buf[2:])
+        if uniform:
+            return jax.lax.dynamic_update_slice(
+                buf, val[None, :, None].astype(buf.dtype),
+                (layer, 0, pos) + (0,) * (buf.ndim - 3))
+        return buf.at[layer, rows, pos].set(val.astype(buf.dtype))
 
     for i in range(cfg.num_layers):
         lp = params["layers"][str(i)]
@@ -414,9 +468,16 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        # per-row scatter at each row's own write position
-        ck = ck.at[i, rows, pos].set(k[:, 0].astype(ck.dtype))
-        cv = cv.at[i, rows, pos].set(v[:, 0].astype(cv.dtype))
+        if cache.quantized:
+            kq, k_sc = quantize_kv(k[:, 0])
+            vq, v_sc = quantize_kv(v[:, 0])
+            ck = write(ck, kq, i)
+            cv = write(cv, vq, i)
+            cks = write(cks, k_sc, i)
+            cvs = write(cvs, v_sc, i)
+        else:
+            ck = write(ck, k[:, 0], i)
+            cv = write(cv, v[:, 0], i)
 
         if cfg.layer_is_sliding(i):
             window_start = jnp.maximum(new_len - cfg.sliding_window, 0)
@@ -426,6 +487,8 @@ def decode_step(
             q, ck[i], cv[i], new_len,
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
             window_start=window_start,
+            k_scale=None if cks is None else cks[i],
+            v_scale=None if cvs is None else cvs[i],
         )
         h = linear(attn.reshape(B, 1, H * D), lp["attn"]["o"])
         x = x + rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
@@ -434,4 +497,5 @@ def decode_step(
         x = x + rms_norm(h, lp["post_ffn_norm"], cfg.rms_norm_eps)
 
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return hidden, KVCache(ck, cv, new_len)
+    lengths = jnp.full((B,), new_len, jnp.int32) if uniform else new_len
+    return hidden, KVCache(ck, cv, lengths, cks, cvs)

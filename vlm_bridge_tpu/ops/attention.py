@@ -185,6 +185,8 @@ def decode_attention(
     scale: float,
     logit_softcap: Optional[float] = None,
     window_start: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-token decode attention against a preallocated KV cache.
 
@@ -192,6 +194,11 @@ def decode_attention(
     number of valid entries. window_start: [] or [B], first attendable index
     (for sliding-window layers). Positions >= cache_len (or < window_start)
     are masked.
+
+    k_scale/v_scale: [B, Smax, KH] per-key-vector dequant scales for an int8
+    cache. The dequant folds into the algebra — the k scale multiplies the
+    raw q·k logits per key, the v scale folds into the probabilities — so
+    no dequantized cache copy is materialized.
     """
     B, _, H, D = q.shape
     Smax, KH = k_cache.shape[1], k_cache.shape[2]
@@ -199,8 +206,11 @@ def decode_attention(
 
     qg = q.reshape(B, KH, G, D)
     logits = jnp.einsum(
-        "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+        "bkgd,bskd->bkgs", qg, k_cache.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
+    if k_scale is not None:
+        logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, :]
     if logit_softcap is not None:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
@@ -210,6 +220,9 @@ def decode_attention(
         valid = valid & (pos >= jnp.reshape(window_start, (-1, 1)))
     logits = jnp.where(valid[:, None, None, :], logits, _NEG_INF)
 
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkgs,bskd->bkgd", probs, v_cache)
-    return out.reshape(B, 1, H, D)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
+    probs = probs.astype(q.dtype if v_scale is None else jnp.float32)
+    out = jnp.einsum("bkgs,bskd->bkgd", probs, v_cache.astype(probs.dtype))
+    return out.astype(q.dtype).reshape(B, 1, H, D)

@@ -83,8 +83,8 @@ def int8_matmul(x: jax.Array, wq: dict, *, block_i: int = 512,
 
     M = x.shape[0]
     Mp = _round_up(M, 8)
-    block_i = min(block_i, _round_up(I, 32))
-    block_o = min(block_o, _round_up(O, 128))
+    block_i = _pick_block(I, min(block_i, _round_up(I, 32)))
+    block_o = _pick_block(O, min(block_o, _round_up(O, 128)))
     xp = jnp.pad(x, ((0, Mp - M), (0, (-I) % block_i)))
     wp = jnp.pad(w, ((0, (-I) % block_i), (0, (-O) % block_o)))
     sp = jnp.pad(scale, (0, (-O) % block_o))[None, :]
@@ -178,6 +178,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block(dim: int, target: int, lane: int = 128) -> int:
+    """Prefer a lane-aligned block that divides `dim` exactly (within 2x of
+    `target`), so the activation/output never need pad/slice ops around the
+    kernel — e.g. I=2304 picks 768, not 512 (which would pad to 2560).
+    Falls back to `target` when no exact divisor exists."""
+    best = None
+    b = lane
+    while b <= dim and b <= 2 * target:
+        if dim % b == 0:
+            best = b  # largest exact divisor within 2x of target
+        b += lane
+    return best if best is not None else target
+
+
 # ---------------------------------------------------------------------------
 # Fused int8 GeGLU MLP: down( gelu_tanh(x@gate) * (x@up) )
 # ---------------------------------------------------------------------------
@@ -242,6 +256,109 @@ def int8_mlp(x: jax.Array, gate_q: dict, up_q: dict, down_q: dict,
         interpret=INTERPRET,
     )(xp, gp, up, gsp, usp, dp, dsp)
     return out[:M, :H]
+
+
+def int8_ffn(x: jax.Array, fc1_q: dict, b1: jax.Array, fc2_q: dict,
+             b2: jax.Array, *, block_f: int = 512) -> jax.Array:
+    """One kernel for a classic biased FFN: (gelu_exact(x@fc1 + b1))@fc2 + b2.
+
+    Serves the bridge's FFN at decode (reference bridge FFN is
+    Linear->GELU->Linear with biases, bridge_module.py:291-297). Same
+    launch-count rationale as `int8_mlp`: at decode batch sizes one launch
+    per block beats three matmul dispatches plus elementwise ops. The [M, F]
+    hidden exists only as [M, block_f] VMEM tiles.
+
+    x: [M, H]; fc1: axis=0-quantized [H, F]; b1: [F]; fc2: axis=0-quantized
+    [F, H]; b2: [H]. Returns [M, H] in x.dtype.
+    """
+    f1_w, f1_s = fc1_q["w_int8"], fc1_q["scale"]
+    f2_w, f2_s = fc2_q["w_int8"], fc2_q["scale"]
+    H, F = f1_w.shape
+    if not _use_pallas() and not INTERPRET:
+        g = jnp.dot(x, f1_w.astype(x.dtype),
+                    preferred_element_type=jnp.float32) * f1_s + b1
+        h = jax.nn.gelu(g, approximate=False).astype(x.dtype)
+        y = jnp.dot(h, f2_w.astype(x.dtype),
+                    preferred_element_type=jnp.float32) * f2_s + b2
+        return y.astype(x.dtype)
+
+    M = x.shape[0]
+    Mp = _round_up(M, 8)
+    Hp = _round_up(H, 128)
+    block_f = min(block_f, _round_up(F, 128))
+    Fp = _round_up(F, block_f)
+    xp = jnp.pad(x, ((0, Mp - M), (0, Hp - H)))
+    f1p = jnp.pad(f1_w, ((0, Hp - H), (0, Fp - F)))
+    f2p = jnp.pad(f2_w, ((0, Fp - F), (0, Hp - H)))
+    s1p = jnp.pad(f1_s, (0, Fp - F))[None, :]
+    s2p = jnp.pad(f2_s, (0, Hp - H))[None, :]
+    b1p = jnp.pad(b1.astype(jnp.float32), (0, Fp - F))[None, :]
+    b2p = jnp.pad(b2.astype(jnp.float32), (0, Hp - H))[None, :]
+    nF = Fp // block_f
+
+    out = pl.pallas_call(
+        functools.partial(_int8_ffn_kernel, n_inner=nF),
+        grid=(nF,),
+        in_specs=[
+            pl.BlockSpec((Mp, Hp), lambda j: (0, 0)),
+            pl.BlockSpec((Hp, block_f), lambda j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda j: (0, j)),
+            pl.BlockSpec((block_f, Hp), lambda j: (j, 0)),
+            pl.BlockSpec((1, Hp), lambda j: (0, 0)),
+            pl.BlockSpec((1, Hp), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Mp, Hp), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Hp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Mp, Hp), jnp.float32)],
+        interpret=INTERPRET,
+    )(xp, f1p, s1p, b1p, f2p, s2p, b2p)
+    return out[:M, :H]
+
+
+def _erf_poly(x):
+    """Abramowitz & Stegun 7.1.26 erf (max abs err 1.5e-7 — far below bf16
+    resolution). Mosaic does not lower the erf/erfc primitives that
+    `jax.nn.gelu(approximate=False)` uses, so the kernel computes erf with
+    VPU-friendly polynomial ops."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact_poly(x):
+    """Erf-based (torch-default) GELU via `_erf_poly` — matches
+    `jax.nn.gelu(approximate=False)` to ~1e-7."""
+    return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+
+
+def _int8_ffn_kernel(x_ref, f1_ref, s1_ref, b1_ref, f2_ref, s2_ref, b2_ref,
+                     o_ref, acc, *, n_inner):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[...].astype(jnp.bfloat16)
+    g = jax.lax.dot_general(
+        x, f1_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    g = g * s1_ref[0][None, :] + b1_ref[0][None, :]
+    h = _gelu_exact_poly(g).astype(jnp.bfloat16)
+    acc[:] += jax.lax.dot_general(
+        h, f2_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_inner - 1)
+    def _finish():
+        o_ref[...] = (acc[:] * s2_ref[0][None, :]
+                      + b2_ref[0][None, :]).astype(o_ref.dtype)
 
 
 def _int8_mlp_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref, ds_ref,

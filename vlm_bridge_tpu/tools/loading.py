@@ -24,8 +24,8 @@ def add_model_args(ap) -> None:
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (CPU smoke runs)")
     ap.add_argument("--quantize", default=None,
-                    help="int8-quantize LM weight groups: comma list of "
-                         "embedding,mlp,attn")
+                    help="int8-quantize weight groups: comma list of "
+                         "embedding,mlp,attn,bridge")
     ap.add_argument("--mesh", default=None,
                     help="device mesh for inference: DATA[,MODEL] (e.g. "
                          "'8' = 8-way batch-sharded decode, '4,2' adds "
@@ -76,10 +76,16 @@ def load_from_args(args):
             p.name, template={"bridge_params": params["bridge"]})
         params["bridge"] = restored["bridge_params"]
     if getattr(args, "quantize", None):
-        from vlm_bridge_tpu.models import gemma2
+        parts = args.quantize.split(",")
+        lm_parts = tuple(p for p in parts if p != "bridge")
+        if lm_parts:
+            from vlm_bridge_tpu.models import gemma2
 
-        params["lm"] = gemma2.quantize_params(
-            params["lm"], parts=tuple(args.quantize.split(",")))
+            params["lm"] = gemma2.quantize_params(params["lm"], parts=lm_parts)
+        if "bridge" in parts:
+            from vlm_bridge_tpu.models import bridge
+
+            params["bridge"] = bridge.quantize_decode_params(params["bridge"])
 
     return cfg, params, get_tokenizer(args.tokenizer_path)
 
