@@ -65,6 +65,14 @@ def maybe_flash_attention(
         return None
     if D % 128 != 0 and D not in (64,):
         return None
+    # One-block regime probe (ViT shape [32,257,16,64], non-causal, single
+    # 384x384 tile per head skipping the online-softmax recurrence): a
+    # same-trace profiler A/B on v5e measured the XLA fused path at 0.63x
+    # the kernel's device time (566 vs 900 units/run) — at D=64 the per-head
+    # tiles underfill the MXU's 128-lane contraction and the 512 tiny grid
+    # programs don't pipeline, while XLA's [B,H,257,257] logit
+    # materialization is well-fused. Small-S shapes therefore STAY on the
+    # XLA path; the kernel's profitable regime remains long-S.
     min_s = int(os.environ.get("VLM_BRIDGE_FLASH_MIN_S", "512"))
     if T < 8 or S < min_s:
         return None  # XLA's fused attention wins at small S (see above)
@@ -260,8 +268,12 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _body():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # Dots take bf16 operands with f32 accumulation (preferred_element_type)
+        # — upcasting INPUTS to f32 would push the MXU onto its 1/8-rate f32
+        # path for zero accuracy gain (the XLA reference path also feeds the
+        # MXU bf16 with f32 accum).
+        q = q_ref[0]
+        k = k_ref[0]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -286,7 +298,7 @@ def _fwd_kernel(
         l_new = correction * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
         pv = jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc[:] = acc[:] * correction + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -403,8 +415,9 @@ def _recompute_p(q, k, lse_row, *, scale, logit_softcap, is_causal,
                  sliding_window, kv_valid_len, q_start, k_start):
     """Recompute probabilities + pre-cap logits tanh term for one tile.
 
-    Returns (p [bq, bk], dcap [bq, bk]) where dcap is d(capped)/d(raw logits)
-    (ones when no softcap)."""
+    q/k are bf16 tile refs; the dot accumulates in f32 on the MXU's native
+    mixed-precision path (see _fwd_kernel note). Returns (p [bq, bk], dcap
+    [bq, bk]) where dcap is d(capped)/d(raw logits) (ones when no softcap)."""
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -453,20 +466,21 @@ def _bwd_dq_kernel(
 
     @pl.when(run)
     def _body():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
         lse_row = lse_ref[0][:, :1]
         p, dcap = _recompute_p(
             q, k, lse_row, scale=scale, logit_softcap=logit_softcap,
             is_causal=is_causal, sliding_window=sliding_window,
             kv_valid_len=kv_valid_len, q_start=q_start, k_start=k_start)
-        do = do_ref[0].astype(jnp.float32)
+        do = do_ref[0]
         dp = jax.lax.dot_general(
-            do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0][:, :1]) * dcap * scale
         acc[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(j == num_k_blocks - 1)
     def _finish():
@@ -499,24 +513,26 @@ def _bwd_dkv_kernel(
 
     @pl.when(run)
     def _body():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
         lse_row = lse_ref[0][:, :1]
         p, dcap = _recompute_p(
             q, k, lse_row, scale=scale, logit_softcap=logit_softcap,
             is_causal=is_causal, sliding_window=sliding_window,
             kv_valid_len=kv_valid_len, q_start=q_start, k_start=k_start)
-        do = do_ref[0].astype(jnp.float32)
+        do = do_ref[0]
         # dv += p^T @ do
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
-            do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0][:, :1]) * dcap * scale
         # dk += ds^T @ q
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(i == num_q_blocks - 1)
     def _finish():

@@ -116,12 +116,17 @@ def dinov2_from_state_dict(
             "norm1": ln(lp + "norm1"),
             "norm2": ln(lp + "norm2"),
             "attn": {
-                "q": _as(dtype, _np(sd[lp + "attention.attention.query.weight"]).T),
-                "q_bias": _as(dtype, sd[lp + "attention.attention.query.bias"]),
-                "k": _as(dtype, _np(sd[lp + "attention.attention.key.weight"]).T),
-                "k_bias": _as(dtype, sd[lp + "attention.attention.key.bias"]),
-                "v": _as(dtype, _np(sd[lp + "attention.attention.value.weight"]).T),
-                "v_bias": _as(dtype, sd[lp + "attention.attention.value.bias"]),
+                # Fused [q|k|v] along the output dim (see dinov2.init).
+                "qkv": _as(dtype, np.concatenate([
+                    _np(sd[lp + "attention.attention.query.weight"]).T,
+                    _np(sd[lp + "attention.attention.key.weight"]).T,
+                    _np(sd[lp + "attention.attention.value.weight"]).T,
+                ], axis=1)),
+                "qkv_bias": _as(dtype, np.concatenate([
+                    _np(sd[lp + "attention.attention.query.bias"]),
+                    _np(sd[lp + "attention.attention.key.bias"]),
+                    _np(sd[lp + "attention.attention.value.bias"]),
+                ], axis=0)),
                 "o": _as(dtype, _np(sd[lp + "attention.output.dense.weight"]).T),
                 "o_bias": _as(dtype, sd[lp + "attention.output.dense.bias"]),
             },

@@ -22,6 +22,11 @@ from pathlib import Path
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="vlm-convert", description="bridge checkpoint conversion")
+    # Conversion is host-side weights IO — it never benefits from an
+    # accelerator, and initializing a remote TPU backend can stall the CLI
+    # behind an unrelated tunnel outage, so the default is cpu.
+    ap.add_argument("--platform", default="cpu",
+                    help="JAX backend for tree ops (default cpu)")
     sub = ap.add_subparsers(dest="command", required=True)
 
     p_i = sub.add_parser("pth-to-orbax", help="reference .pth -> Orbax slot")
@@ -42,6 +47,10 @@ def main(argv=None) -> int:
     p_s.add_argument("pth")
 
     args = ap.parse_args(argv)
+
+    from vlm_bridge_tpu.tools.loading import apply_platform
+
+    apply_platform(args)
 
     from vlm_bridge_tpu.configs import VLMConfig
 
