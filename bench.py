@@ -78,8 +78,66 @@ def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
     }
 
 
+def _stream_quantized_params(cfg, quantize):
+    """Capacity path (gemma2_9b): build the int8 serving params WITHOUT the
+    full 18.4 GB bf16 model ever existing on the 16 GB chip (or taking tens
+    of single-core minutes on the host).
+
+    Weights are constant-filled in host RAM (throughput on the TPU is
+    data-independent, and numpy's full() is a memset — random fills of 9B
+    params cost minutes on one core), shipped to the device one decoder
+    layer at a time, and quantized ON the accelerator; each bf16 layer is
+    freed before the next arrives, so peak device memory is the int8 model
+    plus one bf16 layer (~0.4 GB).
+    """
+    import sys
+
+    import jax
+    import numpy as np
+
+    from vlm_bridge_tpu.models import bridge as bridge_mod
+    from vlm_bridge_tpu.models import full_model, gemma2
+    from vlm_bridge_tpu.ops.quant import quantize_int8
+
+    parts = tuple(quantize.split(",")) if quantize else ()
+    lm_parts = tuple(p for p in parts if p != "bridge")
+    dev = jax.devices()[0]
+
+    def put_filled(shapes):
+        return jax.device_put(jax.tree.map(
+            lambda s: np.full(s.shape, 0.01, dtype=s.dtype), shapes), dev)
+
+    t0 = time.time()
+    shapes = jax.eval_shape(
+        lambda k: full_model.init(cfg=cfg, rng=k), jax.random.key(0))
+
+    vision = put_filled(shapes["vision"])
+    bridge_p = put_filled(shapes["bridge"])
+    if "bridge" in parts:
+        bridge_p = bridge_mod.quantize_decode_params(bridge_p)
+
+    lm_sh = shapes["lm"]
+    lm = {
+        "final_norm": put_filled(lm_sh["final_norm"]),
+        "layers": {},
+    }
+    emb = put_filled(lm_sh["embedding"])
+    lm["embedding"] = (quantize_int8(emb, axis=1)
+                       if "embedding" in lm_parts else emb)
+    del emb
+    for name in sorted(lm_sh["layers"], key=int):
+        lp = put_filled(lm_sh["layers"][name])
+        lm["layers"][name] = gemma2.quantize_layer(lp, lm_parts)
+        del lp  # free this layer's bf16 before shipping the next
+    params = {"vision": vision, "lm": lm, "bridge": bridge_p}
+    jax.block_until_ready(params)
+    print(f"[stream-init] built int8 params on-device in "
+          f"{time.time()-t0:.0f}s", file=sys.stderr)
+    return params
+
+
 def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
-                 bypass_bridge=False):
+                 bypass_bridge=False, kv_quant=False, host_init=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -92,25 +150,33 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
     # (bench_train builds a mesh; generation parallelism is batch-sharding,
     # measured separately in tests/test_generate.py)
     n_chips = 1
-    params = full_model.init(jax.random.key(0), cfg)
-    if quantize:
-        parts = quantize.split(",")
-        lm_parts = tuple(p for p in parts if p != "bridge")
-        if lm_parts:
-            from vlm_bridge_tpu.models import gemma2
 
-            params["lm"] = gemma2.quantize_params(
-                params["lm"], parts=lm_parts)
-        if "bridge" in parts:
-            from vlm_bridge_tpu.models import bridge
+    def quantize_tree(params):
+        if quantize:
+            parts = quantize.split(",")
+            lm_parts = tuple(p for p in parts if p != "bridge")
+            if lm_parts:
+                from vlm_bridge_tpu.models import gemma2
 
-            params["bridge"] = bridge.quantize_decode_params(params["bridge"])
+                params["lm"] = gemma2.quantize_params(
+                    params["lm"], parts=lm_parts)
+            if "bridge" in parts:
+                from vlm_bridge_tpu.models import bridge
+
+                params["bridge"] = bridge.quantize_decode_params(
+                    params["bridge"])
+        return params
+
+    if host_init:
+        params = _stream_quantized_params(cfg, quantize)
+    else:
+        params = quantize_tree(full_model.init(jax.random.key(0), cfg))
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(
         rng.normal(0, 1, (batch_size, cfg.image_size, cfg.image_size, 3)),
         jnp.bfloat16)
     gen = GenerationConfig(max_length=max_length, greedy=True,
-                           bypass_bridge=bypass_bridge)
+                           bypass_bridge=bypass_bridge, kv_quant=kv_quant)
 
     # warmup/compile (np.asarray = real completion fence on axon)
     toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
@@ -133,7 +199,8 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="default", choices=["default", "tiny"])
+    ap.add_argument("--preset", default="default",
+                    choices=["default", "tiny", "gemma2_9b"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10)
@@ -157,7 +224,18 @@ def main():
     ap.add_argument("--bypass-bridge", action="store_true",
                     help="diagnostic: decode without the bridge to measure "
                          "its share of the step time")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 Gemma KV cache (scales folded into the "
+                         "attention algebra); default ON for gemma2_9b")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX backend (the container sitecustomize "
+                         "pins the TPU platform, so JAX_PLATFORMS alone "
+                         "cannot select cpu)")
     args = ap.parse_args()
+
+    from vlm_bridge_tpu.tools.loading import apply_platform
+
+    apply_platform(args)
 
     from vlm_bridge_tpu.configs import TrainingConfig, VLMConfig
 
@@ -165,6 +243,11 @@ def main():
         cfg = VLMConfig.tiny_test()
         tc = TrainingConfig(model_preset="tiny_test", batch_size=args.batch,
                             loss_chunk_size=32)
+    elif args.preset == "gemma2_9b":
+        # capacity proof: 9.2B bf16 weights do not fit a 16 GB chip; int8
+        # decode does (DESIGN.md §3). Train bench for 9B needs the TP mesh.
+        cfg = VLMConfig.gemma2_9b()
+        tc = TrainingConfig(model_preset="gemma2_9b", batch_size=args.batch)
     else:
         cfg = VLMConfig.default()
         tc = TrainingConfig(batch_size=args.batch)
@@ -174,6 +257,10 @@ def main():
         tc.loss_remat = False
 
     import jax
+
+    is_9b = args.preset == "gemma2_9b"
+    if is_9b:
+        args.skip_train = True  # 9B training needs the TP mesh, not 1 chip
 
     extras = {
         "backend": jax.default_backend(),
@@ -187,9 +274,12 @@ def main():
         extras.update(bench_train(cfg, tc, args.batch, args.seq, args.steps))
     if not args.skip_decode:
         extras["decode_quantize"] = args.quantize or "bf16"
+        extras["decode_kv_int8"] = bool(args.kv_int8 or is_9b)
         extras.update(bench_decode(cfg, args.decode_batch, args.decode_len,
                                    quantize=args.quantize or None,
-                                   bypass_bridge=args.bypass_bridge))
+                                   bypass_bridge=args.bypass_bridge,
+                                   kv_quant=args.kv_int8 or is_9b,
+                                   host_init=is_9b))
         extras["decode_vs_baseline"] = (
             extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)
 

@@ -1,0 +1,39 @@
+"""bench.py is the driver-facing perf artifact: it must always print one
+valid JSON line on its last stdout line, on any backend. Runs the tiny
+preset hermetically on CPU."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_bench(*args):
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update({"JAX_PLATFORMS": "cpu", "VLM_BRIDGE_DISABLE_PALLAS": "1"})
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--preset", "tiny",
+         "--platform", "cpu", *args],
+        env=env, capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_train_metric_json():
+    out = _run_bench("--skip-decode", "--steps", "2", "--batch", "2",
+                     "--seq", "64")
+    assert out["metric"] == "bridge_train_samples_per_sec_chip"
+    assert out["value"] > 0 and out["vs_baseline"] > 0
+    assert out["backend"] == "cpu"
+
+
+def test_decode_metric_json_with_kv_int8():
+    out = _run_bench("--skip-train", "--decode-batch", "2",
+                     "--decode-len", "4", "--kv-int8")
+    assert out["metric"] == "decode_captions_per_sec_chip"
+    assert out["value"] > 0
+    assert out["decode_kv_int8"] is True

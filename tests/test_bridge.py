@@ -129,9 +129,12 @@ def test_pth_roundtrip(cfg, tmp_path):
 def test_param_count_default_config():
     """Code-actual reference param count: 79,080,192/block -> 158,160,384
     total for the default 2-block bridge (SURVEY.md §2; the reference README's
-    66.1M claim is stale)."""
-    params = bridge.init(jax.random.key(0), BridgeConfig.default())
-    assert bridge.num_params(params) == 158_160_384
+    66.1M claim is stale). eval_shape counts without materializing the 158M
+    Xavier init (which costs ~2 min of single-core threefry)."""
+    shapes = jax.eval_shape(
+        lambda: bridge.init(jax.random.key(0), BridgeConfig.default()))
+    n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert n == 158_160_384
 
 
 def test_gradients_flow_and_dropout_determinism(cfg):

@@ -338,23 +338,34 @@ def quantize_params(
         "layers": {},
     }
     for name, lp in params["layers"].items():
-        out["layers"][name] = {
-            "input_norm": lp["input_norm"],
-            "post_attn_norm": lp["post_attn_norm"],
-            "pre_ffn_norm": lp["pre_ffn_norm"],
-            "post_ffn_norm": lp["post_ffn_norm"],
-            # q/k/v fuse into one [H, (H+2KH)*D] weight -> ONE kernel launch
-            "attn": ({"qkv": quantize_int8(jnp.concatenate(
-                          [lp["attn"]["q"], lp["attn"]["k"],
-                           lp["attn"]["v"]], axis=1).astype(jnp.float32),
-                          axis=0),
-                      "o": quantize_int8(lp["attn"]["o"], axis=0)}
-                     if "attn" in parts else lp["attn"]),
-            "mlp": ({k: quantize_int8(v, axis=0)
-                     for k, v in lp["mlp"].items()}
-                    if "mlp" in parts else lp["mlp"]),
-        }
+        out["layers"][name] = quantize_layer(lp, parts)
     return out
+
+
+def quantize_layer(lp: dict, parts: Tuple[str, ...]) -> dict:
+    """Quantize ONE decoder layer (see quantize_params). Exposed separately
+    so capacity-constrained loaders (bench.py gemma2_9b path) can stream
+    layers through the device one at a time — quantizing each bf16 layer on
+    the accelerator and freeing it before the next, instead of ever holding
+    the full 18 GB bf16 model anywhere."""
+    from vlm_bridge_tpu.ops.quant import quantize_int8
+
+    return {
+        "input_norm": lp["input_norm"],
+        "post_attn_norm": lp["post_attn_norm"],
+        "pre_ffn_norm": lp["pre_ffn_norm"],
+        "post_ffn_norm": lp["post_ffn_norm"],
+        # q/k/v fuse into one [H, (H+2KH)*D] weight -> ONE kernel launch
+        "attn": ({"qkv": quantize_int8(jnp.concatenate(
+                      [lp["attn"]["q"], lp["attn"]["k"],
+                       lp["attn"]["v"]], axis=1).astype(jnp.float32),
+                      axis=0),
+                  "o": quantize_int8(lp["attn"]["o"], axis=0)}
+                 if "attn" in parts else lp["attn"]),
+        "mlp": ({k: quantize_int8(v, axis=0)
+                 for k, v in lp["mlp"].items()}
+                if "mlp" in parts else lp["mlp"]),
+    }
 
 
 # ---------------------------------------------------------------------------
