@@ -224,9 +224,12 @@ def main():
     ap.add_argument("--bypass-bridge", action="store_true",
                     help="diagnostic: decode without the bridge to measure "
                          "its share of the step time")
-    ap.add_argument("--kv-int8", action="store_true",
+    ap.add_argument("--kv-int8", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="int8 Gemma KV cache (scales folded into the "
-                         "attention algebra); default ON for gemma2_9b")
+                         "attention algebra). Default on: measured 145.2 "
+                         "vs 144.0 captions/s same-window at 2B batch 64, "
+                         "and it carries the 9B capacity story")
     ap.add_argument("--platform", default=None,
                     help="force a JAX backend (the container sitecustomize "
                          "pins the TPU platform, so JAX_PLATFORMS alone "
@@ -274,11 +277,12 @@ def main():
         extras.update(bench_train(cfg, tc, args.batch, args.seq, args.steps))
     if not args.skip_decode:
         extras["decode_quantize"] = args.quantize or "bf16"
-        extras["decode_kv_int8"] = bool(args.kv_int8 or is_9b)
+        kv_int8 = bool(args.kv_int8 or is_9b)
+        extras["decode_kv_int8"] = kv_int8
         extras.update(bench_decode(cfg, args.decode_batch, args.decode_len,
                                    quantize=args.quantize or None,
                                    bypass_bridge=args.bypass_bridge,
-                                   kv_quant=args.kv_int8 or is_9b,
+                                   kv_quant=kv_int8,
                                    host_init=is_9b))
         extras["decode_vs_baseline"] = (
             extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)
