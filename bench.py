@@ -269,20 +269,27 @@ def main():
         "backend": jax.default_backend(),
         "n_devices": len(jax.devices()),
         "preset": args.preset,
-        "batch": args.batch,
-        "seq": args.seq,
+        "train_batch": args.batch,
+        "train_seq": args.seq,
     }
 
     if not args.skip_train:
         extras.update(bench_train(cfg, tc, args.batch, args.seq, args.steps))
     if not args.skip_decode:
+        # every knob that produced the decode numbers, so the artifact is
+        # self-describing (round-2 verdict: BENCH_r02 read as if 149.6
+        # captions/s happened at the *train* batch of 8)
         extras["decode_quantize"] = args.quantize or "bf16"
-        kv_int8 = bool(args.kv_int8 or is_9b)
-        extras["decode_kv_int8"] = kv_int8
+        extras["decode_batch"] = args.decode_batch
+        extras["decode_len"] = args.decode_len
+        extras["decode_greedy"] = True
+        extras["decode_early_stop"] = False
+        extras["decode_host_init"] = is_9b
+        extras["decode_kv_int8"] = args.kv_int8
         extras.update(bench_decode(cfg, args.decode_batch, args.decode_len,
                                    quantize=args.quantize or None,
                                    bypass_bridge=args.bypass_bridge,
-                                   kv_quant=kv_int8,
+                                   kv_quant=args.kv_int8,
                                    host_init=is_9b))
         extras["decode_vs_baseline"] = (
             extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)

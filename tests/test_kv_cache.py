@@ -110,6 +110,42 @@ def test_uniform_position_matches_ragged_path():
                 np.asarray(c_ragged.length), np.asarray(c_uniform.length))
 
 
+def test_uniform_position_contract_checked(monkeypatch):
+    """VLM_BRIDGE_DEBUG_CHECKS=1 + checkify catches the documented misuse:
+    decode_step(position=...) after a RAGGED prefill (cache.length differs
+    per row) — which would otherwise silently overwrite wrong cache slots
+    with wrong RoPE positions (advisor finding r2)."""
+    from jax.experimental import checkify
+
+    monkeypatch.setenv("VLM_BRIDGE_DEBUG_CHECKS", "1")
+    cfg, params = _tiny()
+    B, T, L = 2, 4, 8
+    rng = np.random.default_rng(5)
+    embeds = jnp.asarray(rng.normal(0, 1, (B, T, cfg.hidden_size)), jnp.float32)
+    mask = jnp.asarray([[1, 1, 1, 1], [1, 1, 0, 0]], jnp.int32)  # ragged
+    _, cache = gemma2.prefill(
+        params, cfg, embeds, gemma2.KVCache.zeros(cfg, B, L, jnp.float32),
+        attn_mask=mask)
+    tok = jnp.asarray(rng.normal(0, 1, (B, 1, cfg.hidden_size)), jnp.float32)
+
+    checked = checkify.checkify(
+        lambda: gemma2.decode_step(params, cfg, tok, cache,
+                                   position=jnp.int32(T)))
+    err, _ = checked()
+    try:
+        err.throw()
+        raise AssertionError("ragged cache + position= should have failed")
+    except checkify.JaxRuntimeError as e:
+        assert "lockstep contract" in str(e)
+
+    # the legal lockstep call passes the same check
+    uniform = gemma2.KVCache.zeros(cfg, B, L, jnp.float32)
+    err, _ = checkify.checkify(
+        lambda: gemma2.decode_step(params, cfg, tok, uniform,
+                                   position=jnp.int32(0)))()
+    err.throw()  # no error
+
+
 def test_generate_kv_quant_end_to_end():
     cfg = VLMConfig.tiny_test()
     params = full_model.init(jax.random.key(0), cfg, frozen_dtype=jnp.float32)

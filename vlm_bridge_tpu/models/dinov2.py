@@ -147,6 +147,15 @@ def forward(
     """
     B, H_img, W_img, C = pixel_values.shape
     P = cfg.patch_size
+    if H_img != W_img or H_img % P != 0:
+        # the patchify reshape below needs an exact square grid (the conv it
+        # replaced silently VALID-cropped remainders; be loud instead —
+        # the data pipeline always emits image_size x image_size)
+        raise ValueError(
+            f"pixel_values must be square with height/width a multiple of "
+            f"patch_size={P}; got {H_img}x{W_img}. Resize via "
+            f"data.preprocess (images are {cfg.image_size}x{cfg.image_size} "
+            f"in this stack).")
     grid = H_img // P
 
     # Non-overlapping stride==kernel patch embedding IS a matmul: extract

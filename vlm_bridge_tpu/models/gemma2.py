@@ -21,6 +21,7 @@ loop runs as a single `lax.scan` over tokens with in-place
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -448,10 +449,22 @@ def decode_step(
     generation loop, where all rows decode in lockstep). This swaps the
     per-row cache scatter — a real gather/scatter op per layer — for a
     `dynamic_update_slice`, which XLA performs in place. cache.length must
-    equal position in every row; this is not checked.
+    equal position in every row — combining position= with a ragged
+    (padded-prefill) cache would silently write wrong slots and use wrong
+    RoPE positions. Set VLM_BRIDGE_DEBUG_CHECKS=1 and wrap the caller in
+    `jax.experimental.checkify.checkify` to verify the contract at runtime
+    (tests/test_kv_cache.py exercises it).
     """
     B = token_embeds.shape[0]
     uniform = position is not None
+    if uniform and os.environ.get("VLM_BRIDGE_DEBUG_CHECKS"):
+        from jax.experimental import checkify
+
+        checkify.check(
+            jnp.all(cache.length == position),
+            "decode_step(position=...) requires cache.length == position in "
+            "every row (lockstep contract); after a ragged prefill call "
+            "decode_step without position= instead.")
     pos = position if uniform else cache.length  # [] or [B]
     positions = jnp.reshape(pos, (-1, 1))  # [1,1] or [B,1]
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)

@@ -36,22 +36,26 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Standard LayerNorm, f32 accumulation.
 
-    Variance is computed one-pass as E[x^2] - E[x]^2: the two reductions fuse
-    into a single read of x, where the textbook E[(x-mean)^2] forces XLA into
-    separate mean and variance passes (profiled on the ViT: the LN convert+
-    reduce fusions were 58% of encode time at [32,257,1024]). f32
-    accumulation keeps the cancellation harmless at bf16-activation scales.
+    Variance is computed one-pass as E[x'^2] - E[x']^2: the two reductions
+    fuse into a single read of x, where the textbook E[(x-mean)^2] forces XLA
+    into separate mean and variance passes (profiled on the ViT: the LN
+    convert+reduce fusions were 58% of encode time at [32,257,1024]).
+
+    x' = x - x[..., 0] — a per-row pivot. The one-pass identity is exact in
+    real arithmetic but cancels catastrophically in floats when |mean| >>
+    std; that regime means every element sits near the mean, so pivoting by
+    any one element re-centers x' near zero and removes the cancellation
+    without a second pass (both statistics still read x once). The pivot
+    cancels algebraically in the output, so gradients are untouched.
     """
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    pivot = jax.lax.stop_gradient(xf[..., :1])
+    xs = xf - pivot
+    mean = jnp.mean(xs, axis=-1, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xs), axis=-1, keepdims=True)
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (xs - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    # Barrier: without it XLA fuses the normalize into the consumer matmul's
-    # operand path (kOutput dot fusion), recomputing it per MXU tile — the
-    # ViT's LN+QKV fusions profiled ~10x off matmul peak. Materializing the
-    # LN output keeps the dot on the MXU fast path.
     return y.astype(x.dtype)
 
 

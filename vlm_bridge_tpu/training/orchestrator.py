@@ -205,15 +205,19 @@ def run_training_epoch(ctx: TrainingContext, epoch: int) -> float:
     dt = time.time() - t_epoch
     sps = n * tc.batch_size / max(dt, 1e-9)
     ctx.writer.add_scalar("epoch/train_loss", avg, epoch)
-    ctx.writer.add_scalar("epoch/samples_per_sec", sps, epoch)
     summary = prof.summary()
+    steady = (1000.0 * tc.batch_size / summary["step_ms_mean"]
+              if "step_ms_mean" in summary else None)
+    # the headline tag users graph gets the steady-state rate when one is
+    # measurable — epoch 0's wall-clock rate is dominated by the jit compile
+    # (3.1 vs 38.2 samples/s on v5e) and misleads exactly once, at the top
+    # of every training curve. The raw wall-clock rate keeps its own tag.
+    ctx.writer.add_scalar("epoch/samples_per_sec", steady or sps, epoch)
+    ctx.writer.add_scalar("epoch/samples_per_sec_wall", sps, epoch)
     for k, v in summary.items():
         ctx.writer.add_scalar(f"perf/{k}", v, epoch)
-    if "step_ms_mean" in summary:
-        # steady-state throughput (excludes the compile window)
-        ctx.writer.add_scalar(
-            "perf/samples_per_sec_steady",
-            1000.0 * tc.batch_size / summary["step_ms_mean"], epoch)
+    if steady is not None:
+        ctx.writer.add_scalar("perf/samples_per_sec_steady", steady, epoch)
     print(f"[Train] epoch {epoch + 1}: loss {avg:.4f} "
           f"({n} steps, {sps:.2f} samples/s)")
     return avg
