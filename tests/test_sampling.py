@@ -58,3 +58,36 @@ def test_topp_excludes_tail():
         topk_window=4))[0]) for s in range(20)}
     assert seen <= {0, 1}
     assert len(seen) == 2  # both heads appear across seeds
+
+
+def test_tail_mass_zero_for_peaked_distribution():
+    from vlm_bridge_tpu.ops.sampling import topp_window_tail_mass
+
+    logits = jnp.zeros((2, 1000)).at[:, 0].set(50.0)
+    tail = np.asarray(topp_window_tail_mass(
+        logits, temperature=1.0, top_p=0.9, topk_window=128))
+    np.testing.assert_allclose(tail, 0.0, atol=1e-6)
+
+
+def test_tail_mass_flags_flat_distribution():
+    from vlm_bridge_tpu.ops.sampling import topp_window_tail_mass
+
+    # uniform over 1000 tokens: a 128-token window reaches 0.128 of the
+    # mass; p=0.9 nucleus is clipped by 0.9 - 0.128 = 0.772
+    logits = jnp.zeros((1, 1000))
+    tail = float(np.asarray(topp_window_tail_mass(
+        logits, temperature=1.0, top_p=0.9, topk_window=128))[0])
+    np.testing.assert_allclose(tail, 0.9 - 128 / 1000, atol=1e-4)
+
+
+def test_tail_mass_respects_temperature():
+    from vlm_bridge_tpu.ops.sampling import topp_window_tail_mass
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 1, (1, 4096)), jnp.float32)
+    hot = float(np.asarray(topp_window_tail_mass(
+        logits, temperature=5.0, top_p=0.9, topk_window=128))[0])
+    cold = float(np.asarray(topp_window_tail_mass(
+        logits, temperature=0.2, top_p=0.9, topk_window=128))[0])
+    assert hot > cold  # flatter distribution -> more clipped nucleus
+    assert cold == 0.0

@@ -13,6 +13,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _use_ln_kernel() -> bool:
+    """Default OFF: a same-process A/B at the ViT encode shape measured the
+    Pallas LN at 0.988x XLA (scripts/ln_ab.py, batch 64 — the apparent
+    53 ms of 'LN fusions' in the decode trace turned out to be kOutput
+    fusions CONTAINING the MLP matmuls; encode runs at the chip's practical
+    ~65% MXU ceiling either way). Kept behind an env flag for future shapes
+    where the stats fusion does dominate."""
+    import os
+
+    if not os.environ.get("VLM_BRIDGE_LN_KERNEL"):
+        return False
+    from vlm_bridge_tpu.ops.attention import _use_pallas
+
+    return _use_pallas()
+
+
 def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     """y = x @ w (+ b). Weights are stored [in, out] (JAX convention; torch
     checkpoints are transposed at conversion time).
@@ -47,7 +63,19 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-
     any one element re-centers x' near zero and removes the cancellation
     without a second pass (both statistics still read x once). The pivot
     cancels algebraically in the output, so gradients are untouched.
+
+    On TPU, large row-batches dispatch to a Pallas kernel instead — the XLA
+    stat fusion measured ~50x off bandwidth at ViT shapes (see
+    ops/norm_kernels.py), and the kernel's in-VMEM stats are exact two-pass
+    (no pivot needed).
     """
+    H = x.shape[-1]
+    rows = x.size // max(H, 1)
+    if _use_ln_kernel() and H % 128 == 0 and rows >= 1024:
+        from vlm_bridge_tpu.ops.norm_kernels import layer_norm_fast
+
+        y2 = layer_norm_fast(x.reshape(rows, H), scale, bias, eps)
+        return y2.reshape(x.shape)
     xf = x.astype(jnp.float32)
     pivot = jax.lax.stop_gradient(xf[..., :1])
     xs = xf - pivot

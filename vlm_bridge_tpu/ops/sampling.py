@@ -55,6 +55,31 @@ def sample_token(
     return jax.random.categorical(rng, logits).astype(jnp.int32)
 
 
+def topp_window_tail_mass(
+    logits: jax.Array,
+    *,
+    temperature: float = 0.7,
+    top_p: float = 0.9,
+    topk_window: int = 128,
+) -> jax.Array:
+    """Probability mass of the top-p nucleus that the windowed sampler DROPS.
+
+    The windowed top-p truncates the nucleus silently when p spans more than
+    `topk_window` tokens — flat distributions early in training, exactly when
+    the debugger gets used. Returns [B] f32: max(0, top_p - window_mass),
+    where window_mass is the true (full-softmax) probability inside the
+    window. 0 = the window covered the nucleus; 0.3 = 30% of the requested
+    nucleus was unreachable. Logged per step by the generation debugger;
+    `exact_topp=True` is the remedy.
+    """
+    logits = sanitize_logits(logits.astype(jnp.float32)) / temperature
+    vals, _ = jax.lax.top_k(logits, topk_window)
+    lse_full = jax.scipy.special.logsumexp(logits, axis=-1)
+    window_mass = jnp.exp(
+        jax.scipy.special.logsumexp(vals, axis=-1) - lse_full)
+    return jnp.maximum(top_p - window_mass, 0.0)
+
+
 def _topp_windowed(rng, logits, top_p, k):
     """Top-p restricted to the top-k logits (k static)."""
     vals, idx = jax.lax.top_k(logits, k)  # [B, k] descending

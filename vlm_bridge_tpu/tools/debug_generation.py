@@ -33,6 +33,7 @@ from vlm_bridge_tpu.configs import VLMConfig
 from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
 from vlm_bridge_tpu.inference.robust import decode_captions, is_degenerate
 from vlm_bridge_tpu.models import full_model, gemma2
+from vlm_bridge_tpu.ops import sampling
 from vlm_bridge_tpu.ops.sampling import sample_token
 
 
@@ -54,6 +55,8 @@ class StepTrace:
     extreme_count: int          # |logit| > 50 (pre-sanitize)
     embed_norm: float           # bridged-embedding L2 norm at position t-1
     hidden_norm: float          # final-hidden L2 norm at position t-1
+    topp_tail_mass: float = 0.0  # nucleus mass the topk_window would drop
+                                 # at the sweep's T=0.7/p=0.9 settings
 
 
 @dataclass
@@ -126,6 +129,11 @@ def _debug_step(
             last_h.astype(jnp.float32), axis=-1)[:, 0],
         "top5_ids": top5_ids,
         "top5_probs": top5_probs,
+        # measured at the production sweep settings (T=0.7, p=0.9) even on
+        # greedy traces: the debugger's job is to warn BEFORE someone runs
+        # the windowed sampler on a distribution whose nucleus it clips
+        "topp_tail_mass": sampling.topp_window_tail_mass(
+            logits, temperature=0.7, top_p=0.9),
     }
     nxt = sample_token(
         jax.random.fold_in(rng, t), logits,
@@ -192,6 +200,7 @@ class GenerationDebugger:
                 extreme_count=int(s["extreme_count"][0]),
                 embed_norm=float(s["embed_norm"][0]),
                 hidden_norm=float(s["hidden_norm"][0]),
+                topp_tail_mass=float(s["topp_tail_mass"][0]),
             ))
             if tok == cfg.lm.eos_token_id:
                 break
@@ -215,6 +224,13 @@ class GenerationDebugger:
             if s.extreme_count:
                 issues.append(
                     f"step {s.step}: {s.extreme_count} extreme logits (|x|>50)")
+        clipped = [s for s in steps if s.topp_tail_mass > 0.05]
+        if clipped:
+            worst = max(s.topp_tail_mass for s in clipped)
+            issues.append(
+                f"topk_window clips the top-p nucleus on {len(clipped)} "
+                f"step(s) (worst: {worst:.2f} of p=0.9 unreachable) — "
+                f"use exact_topp for faithful sampling")
         toks = [s.token for s in steps]
         for n in (1, 2, 3):
             if len(toks) >= 4 * n and len(set(toks[-4 * n:])) <= n:
