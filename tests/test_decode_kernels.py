@@ -1,0 +1,144 @@
+"""Fused decode kernels vs the reference jnp decode path (interpret mode).
+
+The fused path must reproduce decode_step(position=...) with an int8 cache:
+same quantization scheme, same attention algebra (scales folded in), same
+RoPE/softcap/norm wiring — only f32 accumulation order (bf16 MXU dots in the
+kernel) differs, so comparisons use int8-noise-scale tolerances.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vlm_bridge_tpu.configs import Gemma2Config
+from vlm_bridge_tpu.models import gemma2
+from vlm_bridge_tpu.ops import decode_kernels
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(decode_kernels, "INTERPRET", True)
+
+
+def _cfg():
+    # tiny dims but a REAL GQA ratio and a window that never binds at
+    # caption lengths (the fused path's dispatch precondition)
+    return dataclasses.replace(Gemma2Config.tiny_test(), sliding_window=128)
+
+
+def _quantized(cfg, seed=0):
+    params = gemma2.init(jax.random.key(seed), cfg, dtype=jnp.float32)
+    return params, gemma2.quantize_params(params, parts=("embedding", "mlp",
+                                                         "attn"))
+
+
+def test_supports_fused_decode_conditions():
+    cfg = _cfg()
+    params, qparams = _quantized(cfg)
+    assert not gemma2.supports_fused_decode(params, cfg, 50)   # bf16 weights
+    assert gemma2.supports_fused_decode(qparams, cfg, 50)
+    # caption budget beyond the sliding window -> refuse (window masking is
+    # not implemented in the kernel)
+    assert not gemma2.supports_fused_decode(qparams, cfg, 200)
+    # tiny_test's real window (8) refuses at caption lengths
+    assert not gemma2.supports_fused_decode(
+        qparams, Gemma2Config.tiny_test(), 50)
+
+
+def test_fused_mlp_step_matches_reference():
+    cfg = _cfg()
+    _, qparams = _quantized(cfg)
+    lp = qparams["layers"]["0"]
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (8, cfg.hidden_size)), jnp.float32)
+
+    got = decode_kernels.fused_mlp_step(
+        x, lp["mlp"]["gate"], lp["mlp"]["up"], lp["mlp"]["down"],
+        lp["pre_ffn_norm"], lp["post_ffn_norm"], eps=cfg.rms_norm_eps)
+
+    from vlm_bridge_tpu.ops.layers import rms_norm
+    from vlm_bridge_tpu.ops.quant import dequantize
+
+    h = rms_norm(x, lp["pre_ffn_norm"], cfg.rms_norm_eps)
+    g = jax.nn.gelu(h @ dequantize(lp["mlp"]["gate"]), approximate=True)
+    u = h @ dequantize(lp["mlp"]["up"])
+    y = (g * u) @ dequantize(lp["mlp"]["down"])
+    want = x + rms_norm(y, lp["post_ffn_norm"], cfg.rms_norm_eps)
+    scale = float(np.abs(np.asarray(want)).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.02 * scale)
+
+
+def test_decode_step_fused_matches_jnp_int8_path():
+    cfg = _cfg()
+    _, qparams = _quantized(cfg)
+    B, L = 4, 16
+    rng = np.random.default_rng(2)
+
+    cache_old = gemma2.KVCache.zeros(cfg, B, L, jnp.int8)
+    cache_new = gemma2.FusedKVCache.zeros(cfg, B, L)
+    for t in range(3):
+        tok = jnp.asarray(rng.normal(0, 1, (B, 1, cfg.hidden_size)),
+                          jnp.float32)
+        h_old, cache_old = gemma2.decode_step(
+            qparams, cfg, tok, cache_old, position=jnp.int32(t))
+        h_new, cache_new = gemma2.decode_step_fused(
+            qparams, cfg, tok, cache_new, jnp.int32(t))
+        scale = float(np.abs(np.asarray(h_old)).max())
+        np.testing.assert_allclose(
+            np.asarray(h_new), np.asarray(h_old), atol=0.03 * scale,
+            err_msg=f"fused decode diverged at step {t}")
+
+    # cache contents agree too: old [L,B,S,KH,D] int8 vs new per-layer
+    # [B,S,KH*D]; scales [L,B,S,KH] vs [KH,B,S]
+    KH, D = cfg.num_kv_heads, cfg.head_dim
+    for i in range(cfg.num_layers):
+        old_k = np.asarray(cache_old.k[i, :, :3]).reshape(B, 3, KH * D)
+        new_k = np.asarray(cache_new.k[i][:, :3])
+        # int8 codes may differ by 1 ulp where the pre-quant value sits on
+        # a rounding boundary (bf16 vs f32 projection differences)
+        assert (np.abs(old_k.astype(np.int32)
+                       - new_k.astype(np.int32)) <= 1).mean() > 0.99
+        old_ks = np.asarray(cache_old.k_scale[i, :, :3])          # [B,3,KH]
+        new_ks = np.asarray(cache_new.k_scale[i][:, :, :3])       # [KH,B,3]
+        np.testing.assert_allclose(
+            old_ks, new_ks.transpose(1, 2, 0), rtol=0.02)
+
+
+def test_generate_fast_uses_fused_and_agrees(monkeypatch):
+    """End-to-end _generate_fast: fused path tokens vs the jnp int8-cache
+    path on the same quantized model."""
+    from vlm_bridge_tpu.configs import VLMConfig
+    from vlm_bridge_tpu.inference.generate import (
+        GenerationConfig, generate_tokens)
+    from vlm_bridge_tpu.models import full_model
+
+    base = VLMConfig.tiny_test()
+    cfg = dataclasses.replace(
+        base, lm=dataclasses.replace(base.lm, sliding_window=128))
+    params = full_model.init(jax.random.key(3), cfg, frozen_dtype=jnp.float32)
+    qparams = dict(params)
+    qparams["lm"] = gemma2.quantize_params(params["lm"])
+    vision = full_model.encode_image(params, cfg, jnp.zeros(
+        (2, cfg.image_size, cfg.image_size, 3), jnp.float32))
+
+    N = 6
+    gen = GenerationConfig(max_length=N, greedy=True, kv_quant=True)
+    toks_fused, _ = generate_tokens(
+        params=qparams, cfg=cfg, vision_features=vision, gen=gen,
+        activation_dtype=jnp.float32)
+
+    monkeypatch.setenv("VLM_BRIDGE_DEBUG_FORCE_JNP", "1")  # see generate.py
+    toks_jnp, _ = generate_tokens(
+        params=qparams, cfg=cfg, vision_features=vision, gen=gen,
+        activation_dtype=jnp.float32)
+
+    toks_fused, toks_jnp = np.asarray(toks_fused), np.asarray(toks_jnp)
+    assert toks_fused.shape == toks_jnp.shape
+    # greedy streams on random-init weights: require first-token agreement
+    # and valid ids (same bar as the int8-vs-f32 guardrail)
+    np.testing.assert_array_equal(toks_fused[:, :2], toks_jnp[:, :2])
+    assert (toks_fused >= 0).all() and (toks_fused < cfg.lm.vocab_size).all()

@@ -181,11 +181,30 @@ def _bridge_decode_step(
 # ---------------------------------------------------------------------------
 
 
+def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bool:
+    """Dispatch predicate for the fused Pallas decode (computed OUTSIDE the
+    jit so it lands in the cache key). VLM_BRIDGE_DEBUG_FORCE_JNP=1 forces
+    the jnp path for A/B and tests."""
+    import os
+
+    from vlm_bridge_tpu.ops import decode_kernels as _dk
+    from vlm_bridge_tpu.ops.attention import _use_pallas as _pallas_on
+
+    if os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP"):
+        return False
+    return (gen.kv_quant and not gen.exact
+            and (_pallas_on() or _dk.INTERPRET)
+            and gemma2.supports_fused_decode(
+                params["lm"], cfg.lm, gen.max_length + 1))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "gen", "activation_dtype"))
+    jax.jit,
+    static_argnames=("cfg", "gen", "activation_dtype", "use_fused"))
 def _generate_fast(
     params, cfg: VLMConfig, vision: jax.Array, rng: jax.Array,
     gen: GenerationConfig, activation_dtype=jnp.bfloat16,
+    use_fused: bool = False,
 ):
     B = vision.shape[0]
     L = gen.max_length + 1  # BOS + generated
@@ -205,9 +224,17 @@ def _generate_fast(
     params = {**params, "bridge": jax.tree.map(_cast_leaf, params["bridge"])}
     bridge_cache = _build_cross_cache(
         params["bridge"], br_cfg, vision, L, activation_dtype)
-    kv_cache = gemma2.KVCache.zeros(
-        lm_cfg, B, L,
-        dtype=jnp.int8 if gen.kv_quant else activation_dtype)
+    # fully-int8 LMs decode through the fused per-layer Pallas kernels
+    # (2 launches/layer instead of 2 launches + ~10 XLA glue fusions; see
+    # ops/decode_kernels.py). The fused cache is int8, so it also requires
+    # gen.kv_quant — the default serving recipe. use_fused is static and
+    # decided by the caller (_fused_decode_available).
+    if use_fused:
+        kv_cache = gemma2.FusedKVCache.zeros(lm_cfg, B, L)
+    else:
+        kv_cache = gemma2.KVCache.zeros(
+            lm_cfg, B, L,
+            dtype=jnp.int8 if gen.kv_quant else activation_dtype)
 
     bos = jnp.full((B,), lm_cfg.bos_token_id, jnp.int32)
 
@@ -219,8 +246,12 @@ def _generate_fast(
         else:
             bridged, bridge_cache = _bridge_decode_step(
                 params["bridge"], br_cfg, bridge_cache, embed, t)
-        hidden, kv_cache = gemma2.decode_step(
-            params["lm"], lm_cfg, bridged, kv_cache, position=t)
+        if use_fused:
+            hidden, kv_cache = gemma2.decode_step_fused(
+                params["lm"], lm_cfg, bridged, kv_cache, t)
+        else:
+            hidden, kv_cache = gemma2.decode_step(
+                params["lm"], lm_cfg, bridged, kv_cache, position=t)
         logits = gemma2.logits_from_hidden(params["lm"], lm_cfg, hidden)[:, 0]
         # fold_in by the position being GENERATED (t+1) so fast and exact
         # modes draw identical random streams per token
@@ -267,6 +298,23 @@ def _generate_fast(
 # ---------------------------------------------------------------------------
 # Exact (reference-parity) generation
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "gen", "activation_dtype", "use_fused"))
+def _generate_e2e(
+    params, cfg: VLMConfig, pixel_values: jax.Array, rng: jax.Array,
+    gen: GenerationConfig, activation_dtype=jnp.bfloat16,
+    use_fused: bool = False,
+):
+    """encode + fast decode as ONE program: a single dispatch/RPC on remote
+    accelerators (two back-to-back jit calls measured ~50 ms of host gaps
+    per batch through the axon tunnel at batch 64)."""
+    vision = full_model.encode_image(params, cfg, pixel_values)
+    return _generate_fast(params, cfg, vision, rng, gen,
+                          activation_dtype=activation_dtype,
+                          use_fused=use_fused)
 
 
 @functools.partial(
@@ -350,17 +398,27 @@ def generate_tokens(
             raise ValueError(
                 f"generation batch {batch} must divide the mesh 'data' axis "
                 f"({data_ax}); pad with data.preprocess.pad_to_batch")
+    fn = _generate_exact if gen.exact else _generate_fast
+    kwargs = {}
+    if not gen.exact:
+        # fused kernels are single-device programs; under a mesh GSPMD
+        # would need shard_map wrapping (not wired) — keep the jnp path
+        kwargs["use_fused"] = (mesh is None
+                               and _fused_decode_available(params, cfg, gen))
+    if mesh is not None:
         with mesh:
             if vision_features is None:
                 pixel_values = jax.device_put(
                     pixel_values, batch_sharding(mesh, jnp.ndim(pixel_values)))
                 vision_features = full_model.encode_image_jit(
                     params, cfg, pixel_values)
-            fn = _generate_exact if gen.exact else _generate_fast
             return fn(params, cfg, vision_features, rng, gen,
-                      activation_dtype=activation_dtype)
+                      activation_dtype=activation_dtype, **kwargs)
     if vision_features is None:
+        if not gen.exact:
+            # single-program encode+decode: one dispatch instead of two
+            return _generate_e2e(params, cfg, pixel_values, rng, gen,
+                                 activation_dtype=activation_dtype, **kwargs)
         vision_features = full_model.encode_image_jit(params, cfg, pixel_values)
-    fn = _generate_exact if gen.exact else _generate_fast
     return fn(params, cfg, vision_features, rng, gen,
-              activation_dtype=activation_dtype)
+              activation_dtype=activation_dtype, **kwargs)

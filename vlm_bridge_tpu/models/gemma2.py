@@ -65,6 +65,109 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
 
+class FusedKVCache(NamedTuple):
+    """Per-layer int8 decode caches for the FUSED kernel path.
+
+    Layouts follow the kernel's probed Mosaic constraints
+    (ops/decode_kernels.py): K/V [B, S, KH*D] int8 (batch leading for the
+    in-kernel batched dots), scales [KH, B, S] f32 (static kv-head slice ->
+    contiguous [B, S]). Per-layer tuples instead of a stacked [L, ...]
+    array: each layer's pallas_call consumes its own array with no slice
+    materialization, and the scan carry donates them in place.
+    """
+
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
+    k_scale: Tuple[jax.Array, ...]
+    v_scale: Tuple[jax.Array, ...]
+
+    @staticmethod
+    def zeros(cfg: Gemma2Config, batch: int, max_len: int) -> "FusedKVCache":
+        S = ((max_len + 63) // 64) * 64  # int8 sublane tile = 32; keep 64
+        KHD = cfg.num_kv_heads * cfg.head_dim
+        L = cfg.num_layers
+        return FusedKVCache(
+            k=tuple(jnp.zeros((batch, S, KHD), jnp.int8) for _ in range(L)),
+            v=tuple(jnp.zeros((batch, S, KHD), jnp.int8) for _ in range(L)),
+            k_scale=tuple(jnp.zeros((cfg.num_kv_heads, batch, S), jnp.float32)
+                          for _ in range(L)),
+            v_scale=tuple(jnp.zeros((cfg.num_kv_heads, batch, S), jnp.float32)
+                          for _ in range(L)),
+        )
+
+
+def supports_fused_decode(params: dict, cfg: Gemma2Config,
+                          max_len: int) -> bool:
+    """The fused path needs fully int8 layers (fused qkv + o + mlp dicts)
+    and caption-scale sequences (cache capacity within every sliding
+    window, so window masking never binds)."""
+    S = ((max_len + 63) // 64) * 64
+    if S > cfg.sliding_window:
+        return False
+    for lp in params["layers"].values():
+        attn, mlp = lp["attn"], lp["mlp"]
+        if "qkv" not in attn or not isinstance(attn["qkv"], dict):
+            return False
+        if not isinstance(attn.get("o"), dict):
+            return False
+        if not all(isinstance(mlp[k], dict) for k in ("gate", "up", "down")):
+            return False
+    return True
+
+
+def decode_step_fused(
+    params: dict,
+    cfg: Gemma2Config,
+    token_embeds: jax.Array,
+    cache: FusedKVCache,
+    position: jax.Array,
+) -> Tuple[jax.Array, FusedKVCache]:
+    """Lockstep decode step via the fused Pallas kernels: two launches per
+    layer instead of ~2 launches + ~10 XLA glue fusions (see
+    ops/decode_kernels.py). Semantics match decode_step(position=...) with
+    an int8 cache; only f32 accumulation order differs.
+
+    token_embeds: [B, 1, H] raw embeddings; position: [] int32 (same for
+    every row). Returns (hidden [B, 1, H], updated cache).
+    """
+    from vlm_bridge_tpu.ops import decode_kernels as dk
+
+    B = token_embeds.shape[0]
+    t = jnp.asarray(position, jnp.int32)
+    cos, sin = rope_table(jnp.reshape(t, (1,)), cfg.head_dim, cfg.rope_theta)
+    normalizer = jnp.asarray(cfg.hidden_size ** 0.5, token_embeds.dtype)
+    x = (token_embeds * normalizer)[:, 0]  # [B, H]
+
+    ks, vs = list(cache.k), list(cache.v)
+    kss, vss = list(cache.k_scale), list(cache.v_scale)
+    for i in range(cfg.num_layers):
+        lp = params["layers"][str(i)]
+        x, k_new, v_new, k_sc, v_sc = dk.fused_attn_step(
+            t, x, lp["attn"]["qkv"], lp["attn"]["o"],
+            lp["input_norm"], lp["post_attn_norm"], cos, sin,
+            ks[i], vs[i], kss[i], vss[i],
+            num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim, attn_scale=cfg.attn_scale,
+            softcap=cfg.attn_logit_softcap, eps=cfg.rms_norm_eps)
+        # cache writes stay in XLA: tiny in-place dynamic_update_slices
+        # (Mosaic only stores dynamically on leading dims; relayouting the
+        # cache for in-kernel stores costs more than these writes do)
+        ks[i] = jax.lax.dynamic_update_slice(ks[i], k_new[:, None, :],
+                                             (0, t, 0))
+        vs[i] = jax.lax.dynamic_update_slice(vs[i], v_new[:, None, :],
+                                             (0, t, 0))
+        kss[i] = jax.lax.dynamic_update_slice(kss[i], k_sc[:, :, None],
+                                              (0, 0, t))
+        vss[i] = jax.lax.dynamic_update_slice(vss[i], v_sc[:, :, None],
+                                              (0, 0, t))
+        x = dk.fused_mlp_step(
+            x, lp["mlp"]["gate"], lp["mlp"]["up"], lp["mlp"]["down"],
+            lp["pre_ffn_norm"], lp["post_ffn_norm"], eps=cfg.rms_norm_eps)
+
+    hidden = rms_norm(x[:, None, :], params["final_norm"], cfg.rms_norm_eps)
+    return hidden, FusedKVCache(tuple(ks), tuple(vs), tuple(kss), tuple(vss))
+
+
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Symmetric per-vector int8 over the trailing (head) dim.
 

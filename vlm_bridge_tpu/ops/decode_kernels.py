@@ -1,0 +1,355 @@
+"""Fused per-layer Gemma-2 decode kernels (int8 weights, int8 KV cache).
+
+Why: the round-2 batch-64 int8 decode ran at 5.3 ms/token-step on v5e vs a
+~3.6 ms weight-stream floor. A per-op trace (scripts/profile_decode.py)
+attributed ~3.1 ms to the int8 matmul kernels (each at/near its bandwidth
+floor) and ~2 ms to XLA glue BETWEEN them: cache slicing/dequant fusions,
+decode-attention logits/softmax, RoPE, four RMSNorms and residual adds per
+layer — each a separate small fusion that cannot cross the custom-call
+boundaries. These kernels move that glue inside the matmul kernels, so one
+decoder layer is TWO launches:
+
+  fused_attn_step : rms_norm -> fused-qkv int8 proj -> RoPE -> per-vector
+                    int8 KV quantization -> cache attention (GQA, logit
+                    softcap; the NEW position's K/V attend from registers,
+                    so the kernel never writes the cache) -> o-proj ->
+                    post-attn rms_norm -> residual
+  fused_mlp_step  : pre-FFN rms_norm -> gate/up/GELU/down (int8, tiled
+                    over F) -> post-FFN rms_norm -> residual
+
+The kernel returns the new K/V (int8 + scales) and XLA writes them into the
+cache with cheap dynamic_update_slices (measured ~0.1 ms/token total) —
+Mosaic supports dynamic stores only on leading dims, and re-laying the cache
+for stores would cost more than the XLA writes do.
+
+Layout notes (probed on v5e, 2026-08-17): batched `dot_general` requires
+the batch dim LEADING in both operands — hence cache [B, S, KH*D] and
+per-kv-head scale caches [KH, B, S] (so a static kh slice yields a
+contiguous [B, S]). int8 VMEM tiles are (32, 128).
+
+Replaces the per-token compute the reference does through
+`F.scaled_dot_product_attention` + separate Linear modules
+(reference: src/vlm_bridge/model_architecture/bridge_module.py:122-139 and
+the no-cache loop in full_model.py:241-373).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vlm_bridge_tpu.ops.attention import _use_pallas
+
+# Tests flip this to exercise the kernels via the Pallas interpreter.
+INTERPRET = False
+
+# Attention inner-product strategy (microbenched on v5e, scripts/attn_micro.py):
+#   "dots" — per-(kv-head, group) batched dot_general: Mosaic lowers the
+#            batch dim as a loop of B tiny MXU ops
+#   "vpu"  — broadcast-multiply + reduce: vectorizes across B in sublanes
+#   "skip" — diagnostic only: bypass attention math (isolates its cost)
+ATTN_MODE = "dots"
+
+
+def _rms(xf: jax.Array, w_row: jax.Array, eps: float) -> jax.Array:
+    """f32 RMSNorm with Gemma's (1 + w) weighting. xf: [M, H]; w_row: [1, H]."""
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(var + eps) * (1.0 + w_row)
+
+
+def _rope_pair(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Gemma rotate_half RoPE on one head. x: [B, D]; cos/sin: [1, D]."""
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[:, half:], x[:, :half]], axis=-1)
+    return x * cos + rot * sin
+
+
+# ---------------------------------------------------------------------------
+# Attention step kernel
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel(
+    t_ref,       # SMEM [1] int32: current position (cache rows < t are valid)
+    x_ref,       # [B, H] bf16
+    wqkv_ref,    # [H, QHD + 2*KHD] int8
+    qkvs_ref,    # [1, QHD + 2*KHD] f32
+    wo_ref,      # [QHD, H] int8
+    os_ref,      # [1, H] f32
+    innorm_ref,  # [1, H] f32
+    postnorm_ref,
+    cos_ref,     # [1, D] f32
+    sin_ref,
+    kc_ref,      # [B, S, KHD] int8 (history; position t not yet written)
+    vc_ref,
+    ks_ref,      # [KH, B, S] f32 (per-key dequant scales)
+    vs_ref,
+    xo_ref,      # out [B, H] bf16
+    kn_ref,      # out [B, KHD] int8 — new K, for the XLA cache write
+    vn_ref,
+    kns_ref,     # out [KH, B] f32
+    vns_ref,
+    *,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    attn_scale: float,
+    softcap: float,
+    eps: float,
+):
+    B, H = x_ref.shape
+    S = kc_ref.shape[1]
+    D = head_dim
+    G = num_heads // num_kv_heads
+    t = t_ref[0]
+
+    xf = x_ref[...].astype(jnp.float32)
+    h = _rms(xf, innorm_ref[0][None, :], eps).astype(jnp.bfloat16)
+
+    # fused qkv projection: int8 -> bf16 is lossless; MXU bf16 path
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * qkvs_ref[0][None, :]
+
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+    QHD = num_heads * D
+    KHD = num_kv_heads * D
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)  # [1, S]
+    hist_valid = (s_iota < t)  # [1, S]
+
+    attn_heads = []
+    k_heads, v_heads = [], []
+    k_scales, v_scales = [], []
+    for kh in range(num_kv_heads):
+        # --- new K/V for this kv head: rope, then per-vector int8 ---
+        k_new = _rope_pair(qkv[:, QHD + kh * D: QHD + (kh + 1) * D], cos, sin)
+        v_new = qkv[:, QHD + KHD + kh * D: QHD + KHD + (kh + 1) * D]
+        k_sc = jnp.maximum(jnp.max(jnp.abs(k_new), axis=-1, keepdims=True),
+                           1e-12) / 127.0                       # [B, 1]
+        v_sc = jnp.maximum(jnp.max(jnp.abs(v_new), axis=-1, keepdims=True),
+                           1e-12) / 127.0
+        k_i8 = jnp.clip(jnp.round(k_new / k_sc), -127, 127).astype(jnp.int8)
+        v_i8 = jnp.clip(jnp.round(v_new / v_sc), -127, 127).astype(jnp.int8)
+        k_heads.append(k_i8)
+        v_heads.append(v_i8)
+        k_scales.append(k_sc)
+        v_scales.append(v_sc)
+        # attention sees the QUANTIZED new key/value — bit-identical to the
+        # jnp path, which writes the cache first and attends int8
+        k_q = k_i8.astype(jnp.float32) * k_sc                    # [B, D]
+        v_q = v_i8.astype(jnp.float32) * v_sc
+
+        K_hist = kc_ref[:, :, kh * D:(kh + 1) * D].astype(jnp.bfloat16)
+        V_hist = vc_ref[:, :, kh * D:(kh + 1) * D].astype(jnp.bfloat16)
+        ks_hist = ks_ref[kh]                                     # [B, S] f32
+        vs_hist = vs_ref[kh]
+
+        for g in range(G):
+            qh = kh * G + g
+            q = _rope_pair(qkv[:, qh * D:(qh + 1) * D], cos, sin)  # [B, D] f32
+            if ATTN_MODE == "skip":
+                attn_heads.append(q)
+                continue
+            if ATTN_MODE == "vpu":
+                # vectorize over B in sublanes; reduce over D in lanes
+                lg = jnp.sum(q[:, None, :] * K_hist.astype(jnp.float32),
+                             axis=-1)                            # [B, S]
+            else:
+                # expand to [B, 1, D] while still f32 — Mosaic cannot
+                # shape-cast packed bf16 2D->3D
+                qb = q[:, None, :].astype(jnp.bfloat16)
+                # history logits: [B, 1, D] x [B, S, D] -> [B, 1, S]
+                lg = jax.lax.dot_general(
+                    qb, K_hist, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0, :]  # [B, S]
+            lg = lg * ks_hist * attn_scale
+            lg = jnp.tanh(lg / softcap) * softcap
+            lg = jnp.where(hist_valid, lg, -1e30)
+            # self logit (position t): q . k_new
+            ls = jnp.sum(q * k_q, axis=-1, keepdims=True) * attn_scale
+            ls = jnp.tanh(ls / softcap) * softcap                # [B, 1]
+
+            m = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True), ls)
+            e_hist = jnp.where(hist_valid, jnp.exp(lg - m), 0.0)
+            e_self = jnp.exp(ls - m)
+            denom = jnp.sum(e_hist, axis=-1, keepdims=True) + e_self
+            p_hist = (e_hist / denom) * vs_hist                  # [B, S] f32
+            if ATTN_MODE == "vpu":
+                out = jnp.sum(p_hist[:, :, None] * V_hist.astype(jnp.float32),
+                              axis=1)                            # [B, D]
+            else:
+                # [B, 1, S] x [B, S, D] -> [B, 1, D] (f32 expand, then cast)
+                out = jax.lax.dot_general(
+                    p_hist[:, None, :].astype(jnp.bfloat16), V_hist,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0, :]
+            out = out + (e_self / denom) * v_q
+            attn_heads.append(out)
+
+    attn = jnp.concatenate(attn_heads, axis=-1)                  # [B, QHD] f32
+    proj = jax.lax.dot_general(
+        attn.astype(jnp.bfloat16), wo_ref[...].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * os_ref[0][None, :]
+    x_out = xf + _rms(proj, postnorm_ref[0][None, :], eps)
+
+    xo_ref[...] = x_out.astype(xo_ref.dtype)
+    kn_ref[...] = jnp.concatenate(k_heads, axis=-1)
+    vn_ref[...] = jnp.concatenate(v_heads, axis=-1)
+    kns_ref[...] = jnp.concatenate(k_scales, axis=-1).T          # [KH, B]
+    vns_ref[...] = jnp.concatenate(v_scales, axis=-1).T
+
+
+def fused_attn_step(
+    t: jax.Array,
+    x: jax.Array,
+    wqkv: dict,
+    wo: dict,
+    in_norm: jax.Array,
+    post_norm: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    kc: jax.Array,
+    vc: jax.Array,
+    ks: jax.Array,
+    vs: jax.Array,
+    *,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    attn_scale: float,
+    softcap: float,
+    eps: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One decoder layer's attention half for ONE lockstep decode step.
+
+    x: [B, H] bf16 residual stream; t: [] or [1] int32 position; cache
+    kc/vc: [B, S, KH*D] int8 with scales ks/vs: [KH, B, S] f32 (valid rows
+    are s < t — position t's K/V never touch the cache inside the kernel).
+    Returns (x_out [B,H], k_new [B,KHD] int8, v_new, k_scale [KH,B] f32,
+    v_scale); the caller writes the new entries at position t.
+    """
+    B, H = x.shape
+    S = kc.shape[1]
+    KHD = num_kv_heads * head_dim
+    QHD = num_heads * head_dim
+    t_arr = jnp.reshape(t, (1,)).astype(jnp.int32)
+
+    kern = functools.partial(
+        _attn_kernel, num_heads=num_heads, num_kv_heads=num_kv_heads,
+        head_dim=head_dim, attn_scale=attn_scale, softcap=softcap, eps=eps)
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H), x.dtype),
+        jax.ShapeDtypeStruct((B, KHD), jnp.int8),
+        jax.ShapeDtypeStruct((B, KHD), jnp.int8),
+        jax.ShapeDtypeStruct((num_kv_heads, B), jnp.float32),
+        jax.ShapeDtypeStruct((num_kv_heads, B), jnp.float32),
+    ]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 13,
+        out_specs=[vmem] * 5,
+        out_shape=out_shapes,
+        # weights (14 MB int8) + both caches (8.4 MB) resident: ~31 MB at
+        # the 2B flagship shape, above the default 16 MB scoped-vmem cap
+        # (v5e VMEM itself probed fine to 64 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(t_arr, x,
+      wqkv["w_int8"], wqkv["scale"][None, :].astype(jnp.float32),
+      wo["w_int8"], wo["scale"][None, :].astype(jnp.float32),
+      in_norm[None, :].astype(jnp.float32),
+      post_norm[None, :].astype(jnp.float32),
+      cos, sin, kc, vc, ks, vs)
+
+
+# ---------------------------------------------------------------------------
+# MLP step kernel (pre/post norms + residual folded into the int8 GeGLU MLP)
+# ---------------------------------------------------------------------------
+
+
+def _mlp_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref, ds_ref,
+                pre_ref, post_ref, o_ref, acc, hb, *, n_inner, eps):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        xf = x_ref[...].astype(jnp.float32)
+        hb[...] = _rms(xf, pre_ref[0][None, :], eps).astype(jnp.bfloat16)
+
+    x = hb[...]
+    g = jax.lax.dot_general(
+        x, g_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * gs_ref[0][None, :]
+    u = jax.lax.dot_general(
+        x, u_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * us_ref[0][None, :]
+    hf = (jax.nn.gelu(g, approximate=True) * u).astype(jnp.bfloat16)
+    acc[...] += jax.lax.dot_general(
+        hf, d_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_inner - 1)
+    def _finish():
+        y = acc[...] * ds_ref[0][None, :]
+        xf = x_ref[...].astype(jnp.float32)
+        o_ref[...] = (xf + _rms(y, post_ref[0][None, :], eps)).astype(
+            o_ref.dtype)
+
+
+def fused_mlp_step(
+    x: jax.Array, gate_q: dict, up_q: dict, down_q: dict,
+    pre_norm: jax.Array, post_norm: jax.Array,
+    *, eps: float, block_f: int = 2304,
+) -> jax.Array:
+    """x + rms(post)( mlp_int8( rms(pre)(x) ) ) in one launch. x: [M, H]."""
+    g_w, g_s = gate_q["w_int8"], gate_q["scale"]
+    u_w, u_s = up_q["w_int8"], up_q["scale"]
+    d_w, d_s = down_q["w_int8"], down_q["scale"]
+    H, F = g_w.shape
+    M = x.shape[0]
+    if F <= block_f:
+        block_f = F
+    else:  # largest lane-aligned divisor of F within the target
+        block_f = next((b for b in range(block_f, 0, -128) if F % b == 0), F)
+    nF = F // block_f
+
+    kern = functools.partial(_mlp_kernel, n_inner=nF, eps=eps)
+    return pl.pallas_call(
+        kern,
+        grid=(nF,),
+        in_specs=[
+            pl.BlockSpec((M, H), lambda j: (0, 0)),
+            pl.BlockSpec((H, block_f), lambda j: (0, j)),
+            pl.BlockSpec((H, block_f), lambda j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda j: (0, j)),
+            pl.BlockSpec((block_f, H), lambda j: (j, 0)),
+            pl.BlockSpec((1, H), lambda j: (0, 0)),
+            pl.BlockSpec((1, H), lambda j: (0, 0)),
+            pl.BlockSpec((1, H), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((M, H), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, H), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, H), jnp.float32),
+                        pltpu.VMEM((M, H), jnp.bfloat16)],
+        # 3 x [2304, 2304] int8 blocks double-buffered = ~32 MB at the
+        # flagship shape; above the default 16 MB scoped-vmem cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(x, g_w, u_w, g_s[None, :].astype(jnp.float32),
+      u_s[None, :].astype(jnp.float32), d_w,
+      d_s[None, :].astype(jnp.float32),
+      pre_norm[None, :].astype(jnp.float32),
+      post_norm[None, :].astype(jnp.float32))

@@ -48,21 +48,39 @@ class CheckpointStore:
         meta: Optional[Dict[str, Any]] = None,
     ) -> None:
         """Write a slot atomically (orbax requires a fresh dir; we write to
-        tmp then swap)."""
+        tmp then swap).
+
+        Multi-host: EVERY process must call this (orbax's Checkpointer.save
+        barriers internally and writes from the primary host only — a
+        rank-0-only call deadlocks on its 'Checkpointer:save_start'
+        barrier, observed in tests/test_multihost.py). The tmp-swap
+        filesystem mutations here run on process 0 only, fenced so readers
+        on any rank only ever see fully-swapped slots."""
         import shutil
 
+        multi = jax.process_count() > 1
+        primary = jax.process_index() == 0
         tree = {"bridge_params": bridge_params}
         if opt_state is not None:
             tree["opt_state"] = opt_state
         path = self._slot(slot)
         tmp = self.dir / (slot + ".tmp")
-        if tmp.exists():
+        if primary and tmp.exists():
             shutil.rmtree(tmp)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_pre_{slot}")
         _checkpointer().save(tmp.absolute(), jax.device_get(tree))
-        (tmp / "meta.json").write_text(json.dumps(meta or {}, indent=2))
-        if path.exists():
-            shutil.rmtree(path)
-        tmp.rename(path)
+        if primary:
+            (tmp / "meta.json").write_text(json.dumps(meta or {}, indent=2))
+            if path.exists():
+                shutil.rmtree(path)
+            tmp.rename(path)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_post_{slot}")
 
     def exists(self, slot: str) -> bool:
         return self._slot(slot).exists()

@@ -119,8 +119,10 @@ def prepare_environment(
 
 def save_checkpoint(ctx: TrainingContext, epoch: int, val_loss: float,
                     is_best: bool) -> None:
-    if jax.process_index() != 0:  # single writer in multi-host runs
-        return
+    # every process calls save; the store coordinates (orbax barriers
+    # internally and only the primary host touches the filesystem — see
+    # CheckpointStore.save). The built-in barrier also keeps non-writer
+    # ranks from racing into an early-stop exit mid-write.
     meta = {
         "epoch": epoch,
         "step": int(ctx.state.step),
