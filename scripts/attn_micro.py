@@ -50,8 +50,10 @@ def main():
     x0 = jnp.asarray(rng.normal(0, 1, (B, cfg.hidden_size)), jnp.bfloat16)
 
     results = {}
+    traced = []  # (name, compiled fn, args) — replayed inside ONE trace
 
     def timed(name, fn, *fn_args):
+        fn.__name__ = f"scan_{name}"  # distinct XLA module names
         f = jax.jit(fn)
         fence(f(*fn_args))
         best = []
@@ -61,7 +63,8 @@ def main():
             best.append(time.time() - t0)
         ms = sorted(best)[len(best) // 2] * 1000
         results[name] = round(ms / args.steps, 4)  # ms per step
-        print(f"{name}: {results[name]} ms/step", file=sys.stderr)
+        print(f"{name}: {results[name]} ms/step (wall)", file=sys.stderr)
+        traced.append((name, f, fn_args))
 
     # jnp reference: full decode_step of the 1-layer model
     def jnp_scan(x):
@@ -125,7 +128,42 @@ def main():
 
     timed("qkv_o_matmuls", mm_scan, x0)
 
-    print(json.dumps({"batch": B, "per_step_ms": results}))
+    # one trace, all variants interleaved — module device times are the
+    # trustworthy comparison on the throttling-prone tunnel
+    trace_dir = "/tmp/attn_micro_trace"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            for name, f, fn_args in traced:
+                fence(f(*fn_args))
+
+    try:
+        import collections
+        import glob
+
+        from xplane_ops import load_xspace
+
+        path = sorted(glob.glob(trace_dir + "/**/*.xplane.pb",
+                                recursive=True))[-1]
+        agg = collections.defaultdict(lambda: [0, 0])
+        for plane in load_xspace(path).planes:
+            if "TPU" not in plane.name:
+                continue
+            ev_names = dict(plane.event_metadata.items())
+            for line in plane.lines:
+                if line.name != "XLA Modules":
+                    continue
+                for ev in line.events:
+                    md = ev_names.get(ev.metadata_id)
+                    n = (md.name if md else "?").split("(")[0]
+                    agg[n][0] += ev.duration_ps
+                    agg[n][1] += 1
+        device = {n.replace("jit_scan_", ""): round(ps / 1e9 / c / args.steps, 4)
+                  for n, (ps, c) in agg.items() if "scan_" in n}
+    except Exception as e:  # pragma: no cover
+        device = {"error": str(e)[:200]}
+
+    print(json.dumps({"batch": B, "per_step_ms_wall": results,
+                      "per_step_ms_device": device}))
 
 
 if __name__ == "__main__":

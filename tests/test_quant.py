@@ -301,3 +301,19 @@ def test_per_layer_logit_error_real_dims():
     per_tok = (np.linalg.norm((h_q - h_f).reshape(B * T, -1), axis=-1)
                / np.linalg.norm(h_f.reshape(B * T, -1), axis=-1))
     assert per_tok.max() < 5e-2
+
+
+def test_int8_matmul_t_argmax_kernel_interpret(monkeypatch):
+    monkeypatch.setattr(quant, "INTERPRET", True)
+    rng = np.random.default_rng(11)
+    M, H, V = 8, 128, 1000  # V not a multiple of block -> pad masking path
+    x = jnp.asarray(rng.normal(0, 1, (M, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (V, H)), jnp.float32)
+    wq = quantize_int8(w, axis=1)
+    got = np.asarray(quant.int8_matmul_t_argmax(x, wq, block_v=256))
+    want = np.asarray(jnp.argmax(int8_matmul_t(x, wq), axis=-1))
+    np.testing.assert_array_equal(got, want)
+    # all-NaN row matches the sanitize->zeros->argmax convention (index 0)
+    x_nan = x.at[2].set(jnp.nan)
+    got_nan = np.asarray(quant.int8_matmul_t_argmax(x_nan, wq, block_v=256))
+    assert got_nan[2] == 0

@@ -252,14 +252,25 @@ def _generate_fast(
         else:
             hidden, kv_cache = gemma2.decode_step(
                 params["lm"], lm_cfg, bridged, kv_cache, position=t)
-        logits = gemma2.logits_from_hidden(params["lm"], lm_cfg, hidden)[:, 0]
-        # fold_in by the position being GENERATED (t+1) so fast and exact
-        # modes draw identical random streams per token
-        nxt = sample_token(
-            jax.random.fold_in(rng, t + 1), logits,
-            temperature=gen.temperature, top_p=gen.top_p, greedy=gen.greedy,
-            topk_window=gen.topk_window,
-        )
+        if (use_fused and gen.greedy
+                and isinstance(params["lm"]["embedding"], dict)):
+            # fused greedy head: argmax computed inside the int8 lm_head
+            # kernel — the [B, 256k] f32 logits never hit HBM (the final
+            # softcap is monotonic, so argmax is unchanged)
+            from vlm_bridge_tpu.ops.quant import int8_matmul_t_argmax
+
+            nxt = int8_matmul_t_argmax(hidden[:, 0, :],
+                                       params["lm"]["embedding"])
+        else:
+            logits = gemma2.logits_from_hidden(
+                params["lm"], lm_cfg, hidden)[:, 0]
+            # fold_in by the position being GENERATED (t+1) so fast and
+            # exact modes draw identical random streams per token
+            nxt = sample_token(
+                jax.random.fold_in(rng, t + 1), logits,
+                temperature=gen.temperature, top_p=gen.top_p,
+                greedy=gen.greedy, topk_window=gen.topk_window,
+            )
         nxt = jnp.where(done, lm_cfg.pad_token_id, nxt)
         done = done | (nxt == lm_cfg.eos_token_id)
         return (nxt, done, bridge_cache, kv_cache), nxt

@@ -166,6 +166,79 @@ def int8_matmul_t(x: jax.Array, wq: dict, *, block_v: int = 1024,
     return out[:M, :V]
 
 
+def int8_matmul_t_argmax(x: jax.Array, wq: dict,
+                         *, block_v: int = 8192) -> jax.Array:
+    """Greedy head: argmax_v of x[M, H] @ dequant(w[V, H]).T in ONE kernel.
+
+    The [M, V] f32 logits never exist in HBM (65 MB per step at the 2B
+    vocab — a write plus an argmax re-read the plain head pays every
+    token). Gemma's final softcap is monotonic, so argmax is invariant and
+    the tanh is skipped. All-NaN rows return index 0, matching
+    sanitize_logits (NaN row -> zeros -> argmax = 0). Returns [M] int32.
+    """
+    w, scale = wq["w_int8"], wq["scale"]
+    V, H = w.shape
+    if not _use_pallas() and not INTERPRET:
+        return jnp.argmax(int8_matmul_t(x, wq), axis=-1).astype(jnp.int32)
+
+    M = x.shape[0]
+    Mp = _round_up(M, 8)
+    block_v = min(block_v, _round_up(V, 32))
+    Hp = _round_up(H, 128)
+    xp = jnp.pad(x, ((0, Mp - M), (0, Hp - H)))
+    Vp = _round_up(V, block_v)
+    wp = jnp.pad(w, ((0, Vp - V), (0, Hp - H)))
+    # padded vocab rows get scale 0 -> logits 0; real rows can all be
+    # negative, so mask pads to -inf via the scale sign trick: keep scale 0
+    # and subtract a large constant on padded columns inside the kernel.
+    sp = jnp.pad(scale, (0, Vp - V))[None, :]
+    nV = Vp // block_v
+
+    val, idx = pl.pallas_call(
+        functools.partial(_int8_mmt_argmax_kernel, n_inner=nV,
+                          block_v=block_v, v_real=V),
+        grid=(nV,),
+        in_specs=[
+            pl.BlockSpec((Mp, Hp), lambda j: (0, 0)),
+            pl.BlockSpec((block_v, Hp), lambda j: (j, 0)),
+            pl.BlockSpec((1, block_v), lambda j: (0, j)),
+        ],
+        out_specs=[pl.BlockSpec((Mp, 128), lambda j: (0, 0)),
+                   pl.BlockSpec((Mp, 128), lambda j: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((Mp, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, 128), jnp.int32)],
+        interpret=INTERPRET,
+    )(xp, wp, sp)
+    return idx[:M, 0]
+
+
+def _int8_mmt_argmax_kernel(x_ref, w_ref, s_ref, oval_ref, oidx_ref,
+                            *, n_inner, block_v, v_real):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        oval_ref[...] = jnp.full_like(oval_ref, -jnp.inf)
+        oidx_ref[...] = jnp.zeros_like(oidx_ref)
+
+    x = x_ref[...].astype(jnp.bfloat16)
+    w = w_ref[...].astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * s_ref[0][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) + j * block_v
+    y = jnp.where(col < v_real, y, -jnp.inf)  # mask padded vocab rows
+
+    local_max = jnp.max(y, axis=-1, keepdims=True)             # [M, 1]
+    # first index achieving the max (matches jnp.argmax tie-breaking)
+    local_arg = jnp.min(
+        jnp.where(y >= local_max, col, jnp.iinfo(jnp.int32).max),
+        axis=-1, keepdims=True)                                # [M, 1]
+    better = local_max > oval_ref[:, 0:1]
+    oval_ref[:, 0:1] = jnp.where(better, local_max, oval_ref[:, 0:1])
+    oidx_ref[:, 0:1] = jnp.where(better, local_arg, oidx_ref[:, 0:1])
+
+
 def _int8_mmt_kernel(x_ref, w_ref, s_ref, o_ref):
     x = x_ref[...].astype(jnp.bfloat16)
     w = w_ref[...].astype(jnp.bfloat16)  # lossless for int8 values
