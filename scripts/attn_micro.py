@@ -55,7 +55,13 @@ def main():
     def timed(name, fn, *fn_args):
         fn.__name__ = f"scan_{name}"  # distinct XLA module names
         f = jax.jit(fn)
-        fence(f(*fn_args))
+        try:
+            fence(f(*fn_args))
+        except Exception as e:
+            results[name] = f"FAIL: {str(e).splitlines()[0][:120]}"
+            print(f"{name}: FAILED {str(e).splitlines()[0][:160]}",
+                  file=sys.stderr)
+            return
         best = []
         for _ in range(args.reps):
             t0 = time.time()
@@ -96,7 +102,7 @@ def main():
             return xf
         return fused_scan
 
-    for mode in ("dots", "vpu", "skip"):
+    for mode in ("dots", "dots2", "vpu", "skip"):
         dk.ATTN_MODE = mode
         timed(f"fused_{mode}", make_fused(), x0)
     dk.ATTN_MODE = "dots"

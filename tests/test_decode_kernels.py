@@ -142,3 +142,28 @@ def test_generate_fast_uses_fused_and_agrees(monkeypatch):
     # and valid ids (same bar as the int8-vs-f32 guardrail)
     np.testing.assert_array_equal(toks_fused[:, :2], toks_jnp[:, :2])
     assert (toks_fused >= 0).all() and (toks_fused < cfg.lm.vocab_size).all()
+
+
+@pytest.mark.parametrize("mode", ["dots2", "vpu"])
+def test_attention_mode_variants_match(monkeypatch, mode):
+    """Every ATTN_MODE strategy computes the same attention (strategies
+    differ only in how the inner products map to MXU/VPU)."""
+    cfg = _cfg()
+    _, qparams = _quantized(cfg)
+    B, L = 4, 16
+    rng = np.random.default_rng(7)
+
+    caches = {m: gemma2.FusedKVCache.zeros(cfg, B, L)
+              for m in ("dots", mode)}
+    for t in range(3):
+        tok = jnp.asarray(rng.normal(0, 1, (B, 1, cfg.hidden_size)),
+                          jnp.float32)
+        outs = {}
+        for m in caches:
+            monkeypatch.setattr(decode_kernels, "ATTN_MODE", m)
+            outs[m], caches[m] = gemma2.decode_step_fused(
+                qparams, cfg, tok, caches[m], jnp.int32(t))
+        scale = float(np.abs(np.asarray(outs["dots"])).max())
+        np.testing.assert_allclose(
+            np.asarray(outs[mode]), np.asarray(outs["dots"]),
+            atol=0.01 * scale, err_msg=f"mode {mode} diverged at t={t}")

@@ -68,15 +68,25 @@ class GenerationConfig:
 
 
 class BridgeCache(NamedTuple):
-    """Per-block self-attention K/V caches + precomputed cross K/V."""
+    """Per-block self-attention K/V caches + precomputed cross K/V.
+
+    With kv_quant the cross K/V are stored int8 with per-vector scales
+    (cross_*_scale [nblocks, B, S, Hc]): at batch-64 serving the cross
+    cache is ~150 MB of bf16 read EVERY token step — the single largest
+    HBM stream after the decoder weights — and `decode_attention` folds
+    the scales into the attention algebra with no dequantized copy.
+    """
 
     self_k: jax.Array   # [nblocks, B, L, Hs, Dk]
     self_v: jax.Array
-    cross_k: jax.Array  # [nblocks, B, S, Hc, Dk]
+    cross_k: jax.Array  # [nblocks, B, S, Hc, Dk] (bf16 or int8)
     cross_v: jax.Array
+    cross_k_scale: Optional[jax.Array] = None  # [nblocks, B, S, Hc] f32
+    cross_v_scale: Optional[jax.Array] = None
 
 
-def _build_cross_cache(bridge_params, cfg: BridgeConfig, vision, max_len, dtype):
+def _build_cross_cache(bridge_params, cfg: BridgeConfig, vision, max_len,
+                       dtype, kv_quant: bool = False):
     """Precompute cross-attention K/V from vision features for every block."""
     B, S, _ = vision.shape
     Hc = cfg.num_heads_cross
@@ -90,11 +100,20 @@ def _build_cross_cache(bridge_params, cfg: BridgeConfig, vision, max_len, dtype)
         cvs.append(v.reshape(B, S, Hc, Dc))
     Hs = cfg.num_heads_self
     Ds = cfg.language_dim // Hs
+    cross_k, cross_v = jnp.stack(cks), jnp.stack(cvs)
+    ck_scale = cv_scale = None
+    if kv_quant:
+        from vlm_bridge_tpu.models.gemma2 import quantize_kv
+
+        cross_k, ck_scale = quantize_kv(cross_k)
+        cross_v, cv_scale = quantize_kv(cross_v)
     return BridgeCache(
         self_k=jnp.zeros((cfg.num_blocks, B, max_len, Hs, Ds), dtype),
         self_v=jnp.zeros((cfg.num_blocks, B, max_len, Hs, Ds), dtype),
-        cross_k=jnp.stack(cks),
-        cross_v=jnp.stack(cvs),
+        cross_k=cross_k,
+        cross_v=cross_v,
+        cross_k_scale=ck_scale,
+        cross_v_scale=cv_scale,
     )
 
 
@@ -127,12 +146,22 @@ def _bridge_decode_step(
     for b in range(cfg.num_blocks):
         bp = bridge_params["blocks"][str(b)]
 
-        # cross-attention over (precomputed) vision K/V — no mask
+        # cross-attention over (precomputed) vision K/V — no mask. Routed
+        # through decode_attention (not the generic T=1 path): its
+        # S-minor logits/probs layouts avoid the [B, S, H] transposed
+        # fusions XLA picked for the generic einsum (profiled at ~0.54
+        # ms/token of the batch-64 serving step, r3 decode trace).
         h = layer_norm(x, bp["ln_cross"]["scale"], bp["ln_cross"]["bias"], eps)
         q = linear(h, _w(bp["cross"]["q"], dtype), bp["cross"]["q_bias"].astype(dtype))
         q = q.reshape(B, 1, Hc, Dc)
-        attn = dot_product_attention(
-            q, cache.cross_k[b], cache.cross_v[b], scale=Dc ** -0.5)
+        S_vis = cache.cross_k.shape[2]
+        attn = decode_attention(
+            q, cache.cross_k[b], cache.cross_v[b],
+            jnp.int32(S_vis), scale=Dc ** -0.5,
+            k_scale=(None if cache.cross_k_scale is None
+                     else cache.cross_k_scale[b]),
+            v_scale=(None if cache.cross_v_scale is None
+                     else cache.cross_v_scale[b]))
         attn = linear(attn.reshape(B, 1, ld),
                       _w(bp["cross"]["o"], dtype), bp["cross"]["o_bias"].astype(dtype))
         x = x + attn
@@ -173,7 +202,7 @@ def _bridge_decode_step(
             h = linear(h, bp["ffn"]["fc2"].astype(dtype), bp["ffn"]["fc2_bias"].astype(dtype))
         x = x + h
 
-    return x, BridgeCache(sk, sv, cache.cross_k, cache.cross_v)
+    return x, cache._replace(self_k=sk, self_v=sv)
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +252,8 @@ def _generate_fast(
 
     params = {**params, "bridge": jax.tree.map(_cast_leaf, params["bridge"])}
     bridge_cache = _build_cross_cache(
-        params["bridge"], br_cfg, vision, L, activation_dtype)
+        params["bridge"], br_cfg, vision, L, activation_dtype,
+        kv_quant=gen.kv_quant)
     # fully-int8 LMs decode through the fused per-layer Pallas kernels
     # (2 launches/layer instead of 2 launches + ~10 XLA glue fusions; see
     # ops/decode_kernels.py). The fused cache is int8, so it also requires
@@ -252,8 +282,7 @@ def _generate_fast(
         else:
             hidden, kv_cache = gemma2.decode_step(
                 params["lm"], lm_cfg, bridged, kv_cache, position=t)
-        if (use_fused and gen.greedy
-                and isinstance(params["lm"]["embedding"], dict)):
+        if gen.greedy and isinstance(params["lm"]["embedding"], dict):
             # fused greedy head: argmax computed inside the int8 lm_head
             # kernel — the [B, 256k] f32 logits never hit HBM (the final
             # softcap is monotonic, so argmax is unchanged)

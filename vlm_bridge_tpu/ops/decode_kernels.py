@@ -49,10 +49,14 @@ from vlm_bridge_tpu.ops.attention import _use_pallas
 INTERPRET = False
 
 # Attention inner-product strategy (microbenched on v5e, scripts/attn_micro.py):
-#   "dots" — per-(kv-head, group) batched dot_general: Mosaic lowers the
-#            batch dim as a loop of B tiny MXU ops
-#   "vpu"  — broadcast-multiply + reduce: vectorizes across B in sublanes
-#   "skip" — diagnostic only: bypass attention math (isolates its cost)
+#   "dots"  — per-(kv-head, group) batched dot_general: Mosaic lowers the
+#             batch dim as a loop of B tiny MXU ops (16 dots/layer -> 1024
+#             MXU pipeline fills at B=64)
+#   "dots2" — per-kv-head batched dots with the G query heads stacked
+#             (8 dots/layer -> 512 pipeline fills)
+#   "vpu"   — broadcast-multiply + reduce: vectorizes across B in sublanes,
+#             no per-batch loop
+#   "skip"  — diagnostic only: bypass attention math (isolates its cost)
 ATTN_MODE = "dots"
 
 
@@ -151,6 +155,35 @@ def _attn_kernel(
         ks_hist = ks_ref[kh]                                     # [B, S] f32
         vs_hist = vs_ref[kh]
 
+        if ATTN_MODE == "dots2":
+            # all G query heads of this kv head in ONE batched dot pair
+            qs = [_rope_pair(qkv[:, (kh * G + g) * D:(kh * G + g + 1) * D],
+                             cos, sin) for g in range(G)]
+            qg = jnp.concatenate([q[:, None, :] for q in qs], axis=1)  # [B,G,D] f32
+            lg = jax.lax.dot_general(
+                qg.astype(jnp.bfloat16), K_hist, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # [B, G, S]
+            lg = lg * (ks_hist * attn_scale)[:, None, :]
+            lg = jnp.tanh(lg / softcap) * softcap
+            lg = jnp.where(hist_valid[:, None, :], lg, -1e30)
+            ls = jnp.sum(qg * k_q[:, None, :], axis=-1,
+                         keepdims=True) * attn_scale          # [B, G, 1]
+            ls = jnp.tanh(ls / softcap) * softcap
+            m = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True), ls)
+            e_hist = jnp.where(hist_valid[:, None, :], jnp.exp(lg - m), 0.0)
+            e_self = jnp.exp(ls - m)
+            denom = jnp.sum(e_hist, axis=-1, keepdims=True) + e_self
+            p_hist = (e_hist / denom) * vs_hist[:, None, :]   # [B, G, S] f32
+            out = jax.lax.dot_general(
+                p_hist.astype(jnp.bfloat16), V_hist,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # [B, G, D]
+            out = out + (e_self / denom) * v_q[:, None, :]
+            # minor-dim merge [B, G, D] -> [B, G*D]: per-g slices keep
+            # sublane offsets the final concat rejects ("offset mismatch
+            # on non-concat dimension")
+            attn_heads.append(out.reshape(B, G * D))
+            continue
         for g in range(G):
             qh = kh * G + g
             q = _rope_pair(qkv[:, qh * D:(qh + 1) * D], cos, sin)  # [B, D] f32

@@ -207,6 +207,10 @@ def int8_matmul_t_argmax(x: jax.Array, wq: dict,
                    pl.BlockSpec((Mp, 128), lambda j: (0, 0))],
         out_shape=[jax.ShapeDtypeStruct((Mp, 128), jnp.float32),
                    jax.ShapeDtypeStruct((Mp, 128), jnp.int32)],
+        # [8192, 2304] int8 blocks double-buffered = ~38 MB (the default
+        # scoped-vmem cap is 16 MB; the chip has ~128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=INTERPRET,
     )(xp, wp, sp)
     return idx[:M, 0]
