@@ -167,3 +167,41 @@ def test_attention_mode_variants_match(monkeypatch, mode):
         np.testing.assert_allclose(
             np.asarray(outs[mode]), np.asarray(outs["dots"]),
             atol=0.01 * scale, err_msg=f"mode {mode} diverged at t={t}")
+
+
+def test_decode_step_stacked_matches_fused():
+    """Whole-stack pipelined kernel == the per-layer fused path (same math,
+    different pipelining) and tracks the jnp int8 path."""
+    cfg = _cfg()
+    _, qparams = _quantized(cfg)
+    stacked = gemma2.stack_decode_params(qparams, cfg)
+    B, L = 4, 16
+    rng = np.random.default_rng(9)
+
+    c_fused = gemma2.FusedKVCache.zeros(cfg, B, L)
+    c_stack = gemma2.StackedKVCache.zeros(cfg, B, L)
+    c_jnp = gemma2.KVCache.zeros(cfg, B, L, jnp.int8)
+    for t in range(3):
+        tok = jnp.asarray(rng.normal(0, 1, (B, 1, cfg.hidden_size)),
+                          jnp.float32)
+        h_f, c_fused = gemma2.decode_step_fused(
+            qparams, cfg, tok, c_fused, jnp.int32(t))
+        h_s, c_stack = gemma2.decode_step_stacked(
+            qparams, cfg, stacked, tok, c_stack, jnp.int32(t))
+        h_j, c_jnp = gemma2.decode_step(
+            qparams, cfg, tok, c_jnp, position=jnp.int32(t))
+        # same math through a "dots2"-style attention: near-identical to
+        # the per-layer fused kernel, int8-noise-close to jnp
+        scale = float(np.abs(np.asarray(h_f)).max())
+        np.testing.assert_allclose(
+            np.asarray(h_s), np.asarray(h_f), atol=5e-3 * scale,
+            err_msg=f"stacked vs fused diverged at t={t}")
+        np.testing.assert_allclose(
+            np.asarray(h_s), np.asarray(h_j), atol=0.03 * scale)
+    # stacked cache layout round-trips: [L,B,S,KHD] matches fused tuples
+    for i in range(cfg.num_layers):
+        np.testing.assert_array_equal(
+            np.asarray(c_stack.k[i, :, :3]), np.asarray(c_fused.k[i][:, :3]))
+        np.testing.assert_allclose(
+            np.asarray(c_stack.k_scale[i][:, :, :3]),
+            np.asarray(c_fused.k_scale[i][:, :, :3]), rtol=1e-6)

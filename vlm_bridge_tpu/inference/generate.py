@@ -254,13 +254,15 @@ def _generate_fast(
     bridge_cache = _build_cross_cache(
         params["bridge"], br_cfg, vision, L, activation_dtype,
         kv_quant=gen.kv_quant)
-    # fully-int8 LMs decode through the fused per-layer Pallas kernels
-    # (2 launches/layer instead of 2 launches + ~10 XLA glue fusions; see
-    # ops/decode_kernels.py). The fused cache is int8, so it also requires
-    # gen.kv_quant — the default serving recipe. use_fused is static and
-    # decided by the caller (_fused_decode_available).
+    # fully-int8 LMs decode through the whole-stack pipelined Pallas kernel
+    # (ONE launch for all layers per token; per-layer fused kernels
+    # measured 0.89x of XLA because each kernel serialized its own weight
+    # DMA — see ops/decode_kernels.fused_stack_step). The fused cache is
+    # int8, so it also requires gen.kv_quant — the default serving recipe.
+    # use_fused is static and decided by the caller.
     if use_fused:
-        kv_cache = gemma2.FusedKVCache.zeros(lm_cfg, B, L)
+        stacked = gemma2.stack_decode_params(params["lm"], lm_cfg)
+        kv_cache = gemma2.StackedKVCache.zeros(lm_cfg, B, L)
     else:
         kv_cache = gemma2.KVCache.zeros(
             lm_cfg, B, L,
@@ -277,8 +279,8 @@ def _generate_fast(
             bridged, bridge_cache = _bridge_decode_step(
                 params["bridge"], br_cfg, bridge_cache, embed, t)
         if use_fused:
-            hidden, kv_cache = gemma2.decode_step_fused(
-                params["lm"], lm_cfg, bridged, kv_cache, t)
+            hidden, kv_cache = gemma2.decode_step_stacked(
+                params["lm"], lm_cfg, stacked, bridged, kv_cache, t)
         else:
             hidden, kv_cache = gemma2.decode_step(
                 params["lm"], lm_cfg, bridged, kv_cache, position=t)

@@ -168,6 +168,107 @@ def decode_step_fused(
     return hidden, FusedKVCache(tuple(ks), tuple(vs), tuple(kss), tuple(vss))
 
 
+class StackedKVCache(NamedTuple):
+    """Layer-STACKED int8 decode caches for the whole-stack kernel
+    (ops/decode_kernels.fused_stack_step): K/V [L, B, S, KH*D] int8,
+    scales [L, KH, B, S] f32. Cache updates are four
+    dynamic_update_slices per STEP (the kernel returns all layers' new
+    K/V at once)."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+
+    @staticmethod
+    def zeros(cfg: Gemma2Config, batch: int, max_len: int) -> "StackedKVCache":
+        S = ((max_len + 63) // 64) * 64
+        KHD = cfg.num_kv_heads * cfg.head_dim
+        L = cfg.num_layers
+        return StackedKVCache(
+            k=jnp.zeros((L, batch, S, KHD), jnp.int8),
+            v=jnp.zeros((L, batch, S, KHD), jnp.int8),
+            k_scale=jnp.zeros((L, cfg.num_kv_heads, batch, S), jnp.float32),
+            v_scale=jnp.zeros((L, cfg.num_kv_heads, batch, S), jnp.float32),
+        )
+
+
+def stack_decode_params(params: dict, cfg: Gemma2Config) -> dict:
+    """Layer-stack the int8 decoder weights for fused_stack_step.
+
+    Input layers must be fully int8 (supports_fused_decode). Done once per
+    generate call (a ~2.2 GB on-device copy at the 2B scale, amortized over
+    the whole caption batch)."""
+    L = cfg.num_layers
+    lps = [params["layers"][str(i)] for i in range(L)]
+
+    def stk(get):
+        return jnp.stack([get(lp) for lp in lps])
+
+    return {
+        "wqkv": stk(lambda lp: lp["attn"]["qkv"]["w_int8"]),
+        "qkv_scale": stk(
+            lambda lp: lp["attn"]["qkv"]["scale"].astype(jnp.float32)[None]),
+        "wo": stk(lambda lp: lp["attn"]["o"]["w_int8"]),
+        "o_scale": stk(
+            lambda lp: lp["attn"]["o"]["scale"].astype(jnp.float32)[None]),
+        "norms": stk(lambda lp: jnp.stack([
+            lp["input_norm"].astype(jnp.float32),
+            lp["post_attn_norm"].astype(jnp.float32),
+            lp["pre_ffn_norm"].astype(jnp.float32),
+            lp["post_ffn_norm"].astype(jnp.float32)])),
+        "gate": stk(lambda lp: lp["mlp"]["gate"]["w_int8"]),
+        "up": stk(lambda lp: lp["mlp"]["up"]["w_int8"]),
+        "gu_scale": stk(lambda lp: jnp.stack([
+            lp["mlp"]["gate"]["scale"].astype(jnp.float32),
+            lp["mlp"]["up"]["scale"].astype(jnp.float32)])),
+        "down": stk(lambda lp: lp["mlp"]["down"]["w_int8"]),
+        "down_scale": stk(
+            lambda lp: lp["mlp"]["down"]["scale"].astype(jnp.float32)[None]),
+    }
+
+
+def decode_step_stacked(
+    params: dict,
+    cfg: Gemma2Config,
+    stacked: dict,
+    token_embeds: jax.Array,
+    cache: StackedKVCache,
+    position: jax.Array,
+) -> Tuple[jax.Array, StackedKVCache]:
+    """Lockstep decode step through the whole-stack pipelined kernel.
+
+    Semantics match decode_step_fused; ONE kernel launch for all layers
+    plus four cache scatters per step."""
+    from vlm_bridge_tpu.ops import decode_kernels as dk
+
+    t = jnp.asarray(position, jnp.int32)
+    cos, sin = rope_table(jnp.reshape(t, (1,)), cfg.head_dim, cfg.rope_theta)
+    normalizer = jnp.asarray(cfg.hidden_size ** 0.5, token_embeds.dtype)
+    x = (token_embeds * normalizer)[:, 0]
+
+    x_out, k_upd, v_upd, k_sc, v_sc = dk.fused_stack_step(
+        t, x, stacked, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        cos, sin,
+        num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, attn_scale=cfg.attn_scale,
+        softcap=cfg.attn_logit_softcap, eps=cfg.rms_norm_eps)
+
+    # k_upd/v_upd are the caches updated IN PLACE by the kernel (aliased);
+    # only the tiny per-step scales need an XLA scatter.
+    new_cache = StackedKVCache(
+        k=k_upd,
+        v=v_upd,
+        k_scale=jax.lax.dynamic_update_slice(
+            cache.k_scale, k_sc[:, :, :, None], (0, 0, 0, t)),
+        v_scale=jax.lax.dynamic_update_slice(
+            cache.v_scale, v_sc[:, :, :, None], (0, 0, 0, t)),
+    )
+    hidden = rms_norm(x_out[:, None, :], params["final_norm"],
+                      cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Symmetric per-vector int8 over the trailing (head) dim.
 

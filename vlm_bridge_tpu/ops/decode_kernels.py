@@ -310,6 +310,306 @@ def fused_attn_step(
 # ---------------------------------------------------------------------------
 
 
+def _stack_kernel(
+    t_ref,        # SMEM [1]
+    x_ref,        # [B, H] bf16 — initial residual stream
+    wqkv_ref,     # block (1, H, Wq) int8 of [L, H, Wq]
+    qkvs_ref,     # block (1, 1, Wq) f32
+    wo_ref,       # block (1, QHD, H) int8
+    os_ref,       # block (1, 1, H) f32
+    norms_ref,    # block (1, 4, H) f32: input/post_attn/pre_ffn/post_ffn
+    cos_ref, sin_ref,            # [1, D] f32
+    kc_ref, vc_ref,              # block (1, B, S, KHD) int8
+    ks_ref, vs_ref,              # block (1, KH, B, S) f32
+    g_ref, u_ref,                # block (1, H, Fb) int8
+    gus_ref,                     # block (1, 2, Fb) f32 (gate/up scales)
+    d_ref,                       # block (1, Fb, H) int8
+    ds_ref,                      # block (1, 1, H) f32
+    xo_ref,                      # out [B, H] bf16
+    kn_ref, vn_ref,              # out block (1, B, 1, KHD) int8: row t of
+                                 # the caches, ALIASED onto kc/vc in-place
+    kns_ref, vns_ref,            # out block (1, KH, B) f32 scales
+    x_scr, qkv_scr, acc, hb,     # VMEM scratch
+    *,
+    num_layers: int,
+    n_f: int,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    attn_scale: float,
+    softcap: float,
+    eps: float,
+):
+    """Whole-stack decode step: grid (L, 2 + n_f).
+
+    j == 0     : fused qkv projection (int8) into qkv_scr
+    j == 1     : RoPE + KV quantize + cache attention + o-proj + residual
+    j in [2..] : MLP block j-2 (gate/up/GELU/down accumulate); the last
+                 one adds the post-FFN residual; layer L-1 writes x_out
+
+    One pallas_call for the whole 26-layer body means Pallas's grid
+    pipeline prefetches layer i+1's weight blocks during layer i's compute
+    — the cross-custom-call DMA serialization that made per-layer fused
+    kernels 0.89x of XLA (attn_micro r3) does not exist here.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    B, H = x_ref.shape
+    S = kc_ref.shape[2]
+    D = head_dim
+    G = num_heads // num_kv_heads
+    QHD = num_heads * D
+    KHD = num_kv_heads * D
+    t = t_ref[0]
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _load_x():
+        x_scr[...] = x_ref[...].astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _qkv():
+        h = _rms(x_scr[...], norms_ref[0, 0][None, :], eps).astype(jnp.bfloat16)
+        qkv_scr[...] = jax.lax.dot_general(
+            h, wqkv_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * qkvs_ref[0, 0][None, :]
+
+    @pl.when(j == 1)
+    def _attention():
+        qkv = qkv_scr[...]
+        cos = cos_ref[...]
+        sin = sin_ref[...]
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        hist_valid = (s_iota < t)
+
+        attn_heads = []
+        k_heads, v_heads, k_scales, v_scales = [], [], [], []
+        for kh in range(num_kv_heads):
+            k_new = _rope_pair(
+                qkv[:, QHD + kh * D: QHD + (kh + 1) * D], cos, sin)
+            v_new = qkv[:, QHD + KHD + kh * D: QHD + KHD + (kh + 1) * D]
+            k_sc = jnp.maximum(
+                jnp.max(jnp.abs(k_new), axis=-1, keepdims=True), 1e-12) / 127.0
+            v_sc = jnp.maximum(
+                jnp.max(jnp.abs(v_new), axis=-1, keepdims=True), 1e-12) / 127.0
+            k_i8 = jnp.clip(jnp.round(k_new / k_sc), -127, 127).astype(jnp.int8)
+            v_i8 = jnp.clip(jnp.round(v_new / v_sc), -127, 127).astype(jnp.int8)
+            k_heads.append(k_i8)
+            v_heads.append(v_i8)
+            k_scales.append(k_sc)
+            v_scales.append(v_sc)
+            k_q = k_i8.astype(jnp.float32) * k_sc
+            v_q = v_i8.astype(jnp.float32) * v_sc
+
+            K_hist = kc_ref[0, :, :, kh * D:(kh + 1) * D].astype(jnp.bfloat16)
+            V_hist = vc_ref[0, :, :, kh * D:(kh + 1) * D].astype(jnp.bfloat16)
+            ks_hist = ks_ref[0, kh]
+            vs_hist = vs_ref[0, kh]
+
+            qs = [_rope_pair(qkv[:, (kh * G + g) * D:(kh * G + g + 1) * D],
+                             cos, sin) for g in range(G)]
+            qg = jnp.concatenate([q[:, None, :] for q in qs], axis=1)
+            lg = jax.lax.dot_general(
+                qg.astype(jnp.bfloat16), K_hist, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            lg = lg * (ks_hist * attn_scale)[:, None, :]
+            lg = jnp.tanh(lg / softcap) * softcap
+            lg = jnp.where(hist_valid[:, None, :], lg, -1e30)
+            ls = jnp.sum(qg * k_q[:, None, :], axis=-1,
+                         keepdims=True) * attn_scale
+            ls = jnp.tanh(ls / softcap) * softcap
+            m = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True), ls)
+            e_hist = jnp.where(hist_valid[:, None, :], jnp.exp(lg - m), 0.0)
+            e_self = jnp.exp(ls - m)
+            denom = jnp.sum(e_hist, axis=-1, keepdims=True) + e_self
+            p_hist = (e_hist / denom) * vs_hist[:, None, :]
+            out = jax.lax.dot_general(
+                p_hist.astype(jnp.bfloat16), V_hist,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            out = out + (e_self / denom) * v_q[:, None, :]
+            attn_heads.append(out.reshape(B, G * D))
+
+        kn_ref[0, :, 0, :] = jnp.concatenate(k_heads, axis=-1)
+        vn_ref[0, :, 0, :] = jnp.concatenate(v_heads, axis=-1)
+        kns_ref[0] = jnp.concatenate(k_scales, axis=-1).T
+        vns_ref[0] = jnp.concatenate(v_scales, axis=-1).T
+
+        attn = jnp.concatenate(attn_heads, axis=-1)
+        proj = jax.lax.dot_general(
+            attn.astype(jnp.bfloat16), wo_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * os_ref[0, 0][None, :]
+        x_scr[...] = x_scr[...] + _rms(proj, norms_ref[0, 1][None, :], eps)
+
+    @pl.when(j >= 2)
+    def _mlp():
+        @pl.when(j == 2)
+        def _mlp_init():
+            acc[...] = jnp.zeros_like(acc)
+            hb[...] = _rms(x_scr[...], norms_ref[0, 2][None, :],
+                           eps).astype(jnp.bfloat16)
+
+        x = hb[...]
+        g = jax.lax.dot_general(
+            x, g_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * gus_ref[0, 0][None, :]
+        u = jax.lax.dot_general(
+            x, u_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * gus_ref[0, 1][None, :]
+        hf = (jax.nn.gelu(g, approximate=True) * u).astype(jnp.bfloat16)
+        acc[...] += jax.lax.dot_general(
+            hf, d_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_f + 1)
+        def _mlp_finish():
+            y = acc[...] * ds_ref[0, 0][None, :]
+            x_scr[...] = x_scr[...] + _rms(y, norms_ref[0, 3][None, :], eps)
+
+            @pl.when(i == num_layers - 1)
+            def _write_out():
+                xo_ref[...] = x_scr[...].astype(xo_ref.dtype)
+
+
+def fused_stack_step(
+    t: jax.Array,
+    x: jax.Array,
+    stacked: dict,
+    kc: jax.Array, vc: jax.Array, ks: jax.Array, vs: jax.Array,
+    cos: jax.Array, sin: jax.Array,
+    *,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    attn_scale: float,
+    softcap: float,
+    eps: float,
+    block_f: int = 2304,
+):
+    """One lockstep decode step through ALL layers in one pallas_call.
+
+    stacked: dict of layer-stacked weights (see gemma2.stack_decode_params):
+      wqkv [L,H,Wq] i8, qkv_scale [L,1,Wq], wo [L,QHD,H] i8, o_scale
+      [L,1,H], norms [L,4,H], gate/up [L,H,F] i8, gu_scale [L,2,F],
+      down [L,F,H] i8, down_scale [L,1,H].
+    caches: kc/vc [L, B, S, KH*D] int8, ks/vs [L, KH, B, S] f32.
+    Returns (x_out [B,H], kc' [L,B,S,KHD] i8, vc', k_sc [L,KH,B] f32,
+    v_sc). kc'/vc' ARE the input caches updated IN PLACE at row t
+    (input_output_aliases + a scalar-prefetch output index map writes the
+    64 KB/layer new row from inside the kernel) — without the alias, XLA
+    materializes two full-cache copies per step because a custom call
+    consumes the old cache (measured 2x 0.2 ms at [26,64,64,1024],
+    erasing the kernel's 3.0-vs-3.4 ms win over the jnp path). Scales are
+    small ([L,KH,B] per step), so the caller scatters those normally.
+    """
+    B, H = x.shape
+    L, _, Wq = stacked["wqkv"].shape
+    F = stacked["gate"].shape[2]
+    S = kc.shape[2]
+    KHD = num_kv_heads * head_dim
+    QHD = num_heads * head_dim
+    if F <= block_f:
+        block_f = F
+    else:
+        block_f = next((b for b in range(block_f, 0, -128) if F % b == 0), F)
+    n_f = F // block_f
+    t_arr = jnp.reshape(t, (1,)).astype(jnp.int32)
+
+    kern = functools.partial(
+        _stack_kernel, num_layers=L, n_f=n_f, num_heads=num_heads,
+        num_kv_heads=num_kv_heads, head_dim=head_dim,
+        attn_scale=attn_scale, softcap=softcap, eps=eps)
+
+    # Fetch staggering: a block is DMA'd at the first grid step whose
+    # index_map yields a new value, and Pallas prefetches exactly ONE step
+    # ahead. Mapping every per-layer block to (i, ...) at j=0 front-loads
+    # ~45 MB into the layer-boundary prefetch slot (~10 us of compute to
+    # hide 55 us of DMA -> measured 3.54 ms/token, worse than XLA). So each
+    # block's index switches to layer i exactly at the step that needs it:
+    #   qkv at j=0; o/caches/scales at j=1; mlp block jj at j=jj+2.
+    def at_step(j_need, *zeros):
+        def ix(i, j, t_s):
+            layer = jnp.where(j >= j_need, i, jnp.maximum(i - 1, 0))
+            return (layer,) + tuple(0 for _ in zeros)
+        return ix
+
+    def mlp_j(dim0_is_f):
+        def ix(i, j, t_s):
+            jj = jnp.clip(j - 2, 0, n_f - 1)
+            # during j<2 keep the PREVIOUS layer's last block resident so
+            # the first fetch (i, 0) lands during j=1 attention compute;
+            # at layer 0 point at block 0 so the pipeline-fill fetch is the
+            # one j=2 actually uses (no wasted refetch)
+            layer = jnp.where(j >= 2, i, jnp.maximum(i - 1, 0))
+            jj = jnp.where(j >= 2, jj, jnp.where(i == 0, 0, n_f - 1))
+            return (layer, jj, 0) if dim0_is_f else (layer, 0, jj)
+        return ix
+
+    grid = (L, 2 + n_f)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, H), lambda i, j, t_s: (0, 0)),
+            pl.BlockSpec((1, H, Wq), lambda i, j, t_s: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Wq), lambda i, j, t_s: (i, 0, 0)),
+            pl.BlockSpec((1, QHD, H), at_step(1, 0, 0)),
+            pl.BlockSpec((1, 1, H), at_step(1, 0, 0)),
+            pl.BlockSpec((1, 4, H), lambda i, j, t_s: (i, 0, 0)),
+            pl.BlockSpec((1, head_dim), lambda i, j, t_s: (0, 0)),
+            pl.BlockSpec((1, head_dim), lambda i, j, t_s: (0, 0)),
+            pl.BlockSpec((1, B, S, KHD), at_step(1, 0, 0, 0)),
+            pl.BlockSpec((1, B, S, KHD), at_step(1, 0, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, B, S), at_step(1, 0, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, B, S), at_step(1, 0, 0, 0)),
+            pl.BlockSpec((1, H, block_f), mlp_j(False)),
+            pl.BlockSpec((1, H, block_f), mlp_j(False)),
+            pl.BlockSpec((1, 2, block_f), mlp_j(False)),
+            pl.BlockSpec((1, block_f, H), mlp_j(True)),
+            pl.BlockSpec((1, 1, H), at_step(2, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, H), lambda i, j, t_s: (0, 0)),
+            pl.BlockSpec((1, B, 1, KHD), lambda i, j, t_s: (i, 0, t_s[0], 0)),
+            pl.BlockSpec((1, B, 1, KHD), lambda i, j, t_s: (i, 0, t_s[0], 0)),
+            pl.BlockSpec((1, num_kv_heads, B),
+                         lambda i, j, t_s: (i, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, B),
+                         lambda i, j, t_s: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, Wq), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.bfloat16),
+        ],
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H), x.dtype),
+            jax.ShapeDtypeStruct((L, B, S, KHD), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, S, KHD), jnp.int8),
+            jax.ShapeDtypeStruct((L, num_kv_heads, B), jnp.float32),
+            jax.ShapeDtypeStruct((L, num_kv_heads, B), jnp.float32),
+        ],
+        # kc/vc are operand indices 9/10 counting the scalar-prefetch t
+        # (operand 0); aliasing them onto outputs 1/2 makes the row-t
+        # write in-place in HBM.
+        input_output_aliases={9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(t_arr, x,
+      stacked["wqkv"], stacked["qkv_scale"], stacked["wo"],
+      stacked["o_scale"], stacked["norms"], cos, sin,
+      kc, vc, ks, vs,
+      stacked["gate"], stacked["up"], stacked["gu_scale"],
+      stacked["down"], stacked["down_scale"])
+    return outs
+
+
 def _mlp_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref, ds_ref,
                 pre_ref, post_ref, o_ref, acc, hb, *, n_inner, eps):
     j = pl.program_id(0)

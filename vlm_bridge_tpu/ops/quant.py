@@ -183,15 +183,24 @@ def int8_matmul_t_argmax(x: jax.Array, wq: dict,
 
     M = x.shape[0]
     Mp = _round_up(M, 8)
-    block_v = min(block_v, _round_up(V, 32))
     Hp = _round_up(H, 128)
     xp = jnp.pad(x, ((0, Mp - M), (0, Hp - H)))
-    Vp = _round_up(V, block_v)
-    wp = jnp.pad(w, ((0, Vp - V), (0, Hp - H)))
-    # padded vocab rows get scale 0 -> logits 0; real rows can all be
-    # negative, so mask pads to -inf via the scale sign trick: keep scale 0
-    # and subtract a large constant on padded columns inside the kernel.
-    sp = jnp.pad(scale, (0, Vp - V))[None, :]
+    # pick a block that divides V exactly AND is a multiple of 128 (the
+    # scale block carries block_v on its LANE dim): padding the embedding
+    # would be a 600 MB copy that XLA executes INSIDE the decode scan
+    # every token (profiled at 1.8 ms/step before this fix). 256000 ->
+    # 6400-row blocks; fallback pads only when V has no aligned divisor.
+    block_v = min(block_v, _round_up(V, 128))
+    exact = next((b for b in range(block_v - block_v % 128, 127, -128)
+                  if V % b == 0), None)
+    if exact is not None:
+        block_v, Vp, wp = exact, V, (w if H == Hp else jnp.pad(
+            w, ((0, 0), (0, Hp - H))))
+        sp = scale[None, :]
+    else:
+        Vp = _round_up(V, block_v)
+        wp = jnp.pad(w, ((0, Vp - V), (0, Hp - H)))
+        sp = jnp.pad(scale, (0, Vp - V))[None, :]
     nV = Vp // block_v
 
     val, idx = pl.pallas_call(
