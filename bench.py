@@ -182,10 +182,28 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
     toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
     np.asarray(toks)
 
+    # latency: fence every rep — each batch pays the full dispatch+tunnel
+    # round trip (what one caller sees for one batch)
     t0 = time.time()
     for _ in range(reps):
         toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
-        np.asarray(toks)  # fence every rep (reps are data-independent)
+        np.asarray(toks)
+    lat = (time.time() - t0) / reps
+
+    # throughput: dispatch all reps back-to-back, fence once — JAX async
+    # dispatch keeps the device queue full, overlapping launch latency with
+    # compute exactly as a serving loop with a request queue does (the
+    # orchestrated-training loop does the same; its steady rate matched
+    # this style of measurement within 5%). At batch 64 the decode device
+    # time is ~4.7 ms/token vs ~8.1 ms/token when every batch eats the
+    # tunnel round trip (traced r3: /tmp/r3_stack_alias2).
+    outs = []
+    t0 = time.time()
+    for _ in range(reps):
+        toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
+        outs.append(toks)
+    for toks in outs:
+        np.asarray(toks)
     dt = (time.time() - t0) / reps
 
     cps = batch_size / dt
@@ -194,6 +212,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         "decode_captions_per_sec_per_chip": cps / n_chips,
         "decode_tokens_per_sec": batch_size * max_length / dt,
         "decode_batch_time_s": dt,
+        "decode_batch_latency_s": lat,
     }
 
 

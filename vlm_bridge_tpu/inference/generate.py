@@ -221,10 +221,24 @@ def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bo
 
     if os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP"):
         return False
-    return (gen.kv_quant and not gen.exact
+    if not (gen.kv_quant and not gen.exact
             and (_pallas_on() or _dk.INTERPRET)
             and gemma2.supports_fused_decode(
-                params["lm"], cfg.lm, gen.max_length + 1))
+                params["lm"], cfg.lm, gen.max_length + 1)):
+        return False
+    # stack_decode_params copies the int8 layer weights into layer-stacked
+    # arrays; both live for the generate call, so the copy must fit the
+    # chip's free HBM (gemma2_9b: ~8.4 GB of layers on a 16 GB chip ->
+    # stacking OOMs; it stays on the jnp decode path).
+    try:
+        leaf = jax.tree.leaves(params["lm"]["layers"])[0]
+        stats = next(iter(leaf.devices())).memory_stats() or {}
+        free = stats["bytes_limit"] - stats["bytes_in_use"]
+    except Exception:
+        return True  # CPU/interpret or no stats: stacking is safe
+    stacked_bytes = sum(
+        x.nbytes for x in jax.tree.leaves(params["lm"]["layers"]))
+    return stacked_bytes * 1.05 < free
 
 
 @functools.partial(

@@ -326,8 +326,10 @@ def _stack_kernel(
     d_ref,                       # block (1, Fb, H) int8
     ds_ref,                      # block (1, 1, H) f32
     xo_ref,                      # out [B, H] bf16
-    kn_ref, vn_ref,              # out block (1, B, 1, KHD) int8: row t of
-                                 # the caches, ALIASED onto kc/vc in-place
+    kn_ref, vn_ref,              # out block (1, B, 8, KHD) int8: the row-t
+                                 # window of the caches, ALIASED onto kc/vc
+                                 # (masked read-modify-write of row t%8 —
+                                 # Mosaic requires 2nd-minor blocks >= 8)
     kns_ref, vns_ref,            # out block (1, KH, B) f32 scales
     x_scr, qkv_scr, acc, hb,     # VMEM scratch
     *,
@@ -393,8 +395,14 @@ def _stack_kernel(
                 jnp.max(jnp.abs(v_new), axis=-1, keepdims=True), 1e-12) / 127.0
             k_i8 = jnp.clip(jnp.round(k_new / k_sc), -127, 127).astype(jnp.int8)
             v_i8 = jnp.clip(jnp.round(v_new / v_sc), -127, 127).astype(jnp.int8)
-            k_heads.append(k_i8)
-            v_heads.append(v_i8)
+            # 3-D copies for the window write (expand dims while f32 —
+            # Mosaic cannot shape-cast packed narrow types 2D->3D)
+            k_heads.append(jnp.clip(
+                jnp.round(k_new[:, None, :] / k_sc[:, None, :]),
+                -127, 127).astype(jnp.int8))
+            v_heads.append(jnp.clip(
+                jnp.round(v_new[:, None, :] / v_sc[:, None, :]),
+                -127, 127).astype(jnp.int8))
             k_scales.append(k_sc)
             v_scales.append(v_sc)
             k_q = k_i8.astype(jnp.float32) * k_sc
@@ -429,8 +437,18 @@ def _stack_kernel(
             out = out + (e_self / denom) * v_q[:, None, :]
             attn_heads.append(out.reshape(B, G * D))
 
-        kn_ref[0, :, 0, :] = jnp.concatenate(k_heads, axis=-1)
-        vn_ref[0, :, 0, :] = jnp.concatenate(v_heads, axis=-1)
+        # masked RMW of the 8-row window: row t%8 gets the new K/V, the
+        # other rows are copied back unchanged from the full cache block
+        # (already resident in VMEM for the history attention)
+        sub = t % 8
+        wstart = (t // 8) * 8
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+        k_old = kc_ref[0, :, pl.dslice(wstart, 8), :]
+        v_old = vc_ref[0, :, pl.dslice(wstart, 8), :]
+        kn_ref[0] = jnp.where(w_iota == sub,
+                              jnp.concatenate(k_heads, axis=-1), k_old)
+        vn_ref[0] = jnp.where(w_iota == sub,
+                              jnp.concatenate(v_heads, axis=-1), v_old)
         kns_ref[0] = jnp.concatenate(k_scales, axis=-1).T
         vns_ref[0] = jnp.concatenate(v_scales, axis=-1).T
 
@@ -570,8 +588,10 @@ def fused_stack_step(
         ],
         out_specs=[
             pl.BlockSpec((B, H), lambda i, j, t_s: (0, 0)),
-            pl.BlockSpec((1, B, 1, KHD), lambda i, j, t_s: (i, 0, t_s[0], 0)),
-            pl.BlockSpec((1, B, 1, KHD), lambda i, j, t_s: (i, 0, t_s[0], 0)),
+            pl.BlockSpec((1, B, 8, KHD),
+                         lambda i, j, t_s: (i, 0, t_s[0] // 8, 0)),
+            pl.BlockSpec((1, B, 8, KHD),
+                         lambda i, j, t_s: (i, 0, t_s[0] // 8, 0)),
             pl.BlockSpec((1, num_kv_heads, B),
                          lambda i, j, t_s: (i, 0, 0)),
             pl.BlockSpec((1, num_kv_heads, B),
@@ -596,7 +616,7 @@ def fused_stack_step(
         ],
         # kc/vc are operand indices 9/10 counting the scalar-prefetch t
         # (operand 0); aliasing them onto outputs 1/2 makes the row-t
-        # write in-place in HBM.
+        # window write in-place in HBM.
         input_output_aliases={9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
