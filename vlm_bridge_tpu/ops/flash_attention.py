@@ -47,9 +47,15 @@ def maybe_flash_attention(
     Profitability (measured, v5e, bs=8 training): at S=256 XLA's fused
     attention beats the flash kernel end-to-end (39.5 vs 37.0 samples/s) —
     the custom-VJP tile recompute isn't worth it while the [T, S] logits
-    still fit comfortably. The kernel pays off as S grows (memory scales
-    O(T·S) per layer in the XLA path vs O(T) here), so dispatch requires
-    S >= VLM_BRIDGE_FLASH_MIN_S (default 512).
+    still fit comfortably. At the S=512 pad-bucket (the largest production
+    training shape) a same-process fwd+bwd A/B with ragged kv_lengths
+    measured a dead heat: 487.8 ms/step XLA vs 489.4 flash (0.997x,
+    scripts/flash512_ab.py, r3). XLA is marginally ahead at every
+    production bucket, so the default threshold sits ABOVE them
+    (VLM_BRIDGE_FLASH_MIN_S default 1024) and the kernel is opt-in
+    headroom for long-context variants, where the O(T*S) logit
+    materialization the XLA path pays grows without bound while the
+    kernel stays O(T).
 
     kv_lengths: optional [B] int32 per-row valid key counts. When given, it
     REPLACES a dense right-padding mask (callers assert the prefix form), so
@@ -73,7 +79,7 @@ def maybe_flash_attention(
     # programs don't pipeline, while XLA's [B,H,257,257] logit
     # materialization is well-fused. Small-S shapes therefore STAY on the
     # XLA path; the kernel's profitable regime remains long-S.
-    min_s = int(os.environ.get("VLM_BRIDGE_FLASH_MIN_S", "512"))
+    min_s = int(os.environ.get("VLM_BRIDGE_FLASH_MIN_S", "1024"))
     if T < 8 or S < min_s:
         return None  # XLA's fused attention wins at small S (see above)
     try:
