@@ -205,3 +205,55 @@ def test_decode_step_stacked_matches_fused():
         np.testing.assert_allclose(
             np.asarray(c_stack.k_scale[i][:, :, :3]),
             np.asarray(c_fused.k_scale[i][:, :, :3]), rtol=1e-6)
+
+
+def test_fused_bridge_step_matches_jnp():
+    """Whole-bridge kernel == inference._bridge_decode_step over multiple
+    steps: same cross/self attention algebra, LayerNorms, biases, GELU —
+    only bf16-dot accumulation order differs (int8-noise tolerance)."""
+    from vlm_bridge_tpu.configs import BridgeConfig
+    from vlm_bridge_tpu.inference import generate as G
+    from vlm_bridge_tpu.models import bridge
+
+    cfg = BridgeConfig(
+        vision_dim=32, language_dim=64, num_heads_cross=2,
+        num_heads_self=4, num_blocks=2, ffn_mult=4)
+    params = bridge.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    qparams = bridge.quantize_decode_params(params)
+    bst = bridge.stack_bridge_decode_params(qparams, cfg)
+
+    B, Sv, L = 3, 5, 16
+    rng = np.random.default_rng(4)
+    vision = jnp.asarray(rng.normal(0, 1, (B, Sv, cfg.vision_dim)),
+                         jnp.float32)
+
+    cache_j = G._build_cross_cache(qparams, cfg, vision, L, jnp.float32,
+                                   kv_quant=True)
+    Hs, Ds = cfg.num_heads_self, cfg.language_dim // cfg.num_heads_self
+    S8 = ((L + 63) // 64) * 64
+    cache_f = cache_j._replace(
+        cross_k=jnp.transpose(cache_j.cross_k, (0, 3, 1, 2, 4)),
+        cross_v=jnp.transpose(cache_j.cross_v, (0, 3, 1, 2, 4)),
+        cross_k_scale=jnp.transpose(cache_j.cross_k_scale, (0, 3, 1, 2)),
+        cross_v_scale=jnp.transpose(cache_j.cross_v_scale, (0, 3, 1, 2)),
+        self_k=jnp.zeros((cfg.num_blocks, Hs, B, S8, Ds), jnp.float32),
+        self_v=jnp.zeros((cfg.num_blocks, Hs, B, S8, Ds), jnp.float32),
+    )
+
+    for t in range(3):
+        emb = jnp.asarray(rng.normal(0, 1, (B, 1, cfg.language_dim)),
+                          jnp.float32)
+        x_j, cache_j = G._bridge_decode_step(qparams, cfg, cache_j, emb,
+                                             jnp.int32(t))
+        x_f, cache_f = G._bridge_decode_step_fused(bst, cfg, cache_f, emb,
+                                                   jnp.int32(t))
+        scale = float(np.abs(np.asarray(x_j)).max())
+        np.testing.assert_allclose(
+            np.asarray(x_f), np.asarray(x_j), atol=5e-3 * scale,
+            err_msg=f"bridge fused diverged at t={t}")
+    # self-cache round-trip: head-major rows match the jnp cache layout
+    # (jnp: [nb, B, S, Hs, Ds]; fused: [nb, Hs, B, S8, Ds])
+    got = np.asarray(cache_f.self_k[:, :, :, :3])
+    want = np.transpose(np.asarray(cache_j.self_k)[:, :, :3],
+                        (0, 3, 1, 2, 4))
+    np.testing.assert_allclose(got, want, atol=2e-2)

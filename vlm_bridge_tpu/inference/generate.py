@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from vlm_bridge_tpu.configs import BridgeConfig, VLMConfig
-from vlm_bridge_tpu.models import full_model, gemma2
+from vlm_bridge_tpu.models import bridge, full_model, gemma2
 from vlm_bridge_tpu.ops.attention import decode_attention, dot_product_attention
 from vlm_bridge_tpu.ops.layers import gelu_exact, layer_norm, linear
 from vlm_bridge_tpu.ops.sampling import sample_token
@@ -205,6 +205,28 @@ def _bridge_decode_step(
     return x, cache._replace(self_k=sk, self_v=sv)
 
 
+def _bridge_decode_step_fused(
+    bst: dict, cfg: BridgeConfig, cache: BridgeCache,
+    embed_t: jax.Array, t: jax.Array,
+) -> Tuple[jax.Array, BridgeCache]:
+    """Whole-bridge decode step through ONE Pallas launch
+    (ops/decode_kernels.fused_bridge_step). Semantics match
+    _bridge_decode_step; requires head-major caches (see _generate_fast):
+    cross K/V int8 [nb, Hc, B, Sv, Dc] + scales, self K/V bf16
+    [nb, Hs, B, S8, Ds] with S8 a multiple of 8 (updated in place)."""
+    from vlm_bridge_tpu.ops import decode_kernels as dk
+
+    x_out, sk, sv = dk.fused_bridge_step(
+        jnp.asarray(t, jnp.int32), embed_t[:, 0], bst,
+        cache.cross_k, cache.cross_k_scale,
+        cache.cross_v, cache.cross_v_scale,
+        cache.self_k, cache.self_v,
+        num_heads_cross=cfg.num_heads_cross,
+        num_heads_self=cfg.num_heads_self,
+        eps=cfg.layer_norm_eps)
+    return x_out[:, None, :], cache._replace(self_k=sk, self_v=sv)
+
+
 # ---------------------------------------------------------------------------
 # Fast generation (scan + KV caches)
 # ---------------------------------------------------------------------------
@@ -243,11 +265,12 @@ def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bo
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "gen", "activation_dtype", "use_fused"))
+    static_argnames=("cfg", "gen", "activation_dtype", "use_fused",
+                     "use_fused_bridge"))
 def _generate_fast(
     params, cfg: VLMConfig, vision: jax.Array, rng: jax.Array,
     gen: GenerationConfig, activation_dtype=jnp.bfloat16,
-    use_fused: bool = False,
+    use_fused: bool = False, use_fused_bridge: bool = False,
 ):
     B = vision.shape[0]
     L = gen.max_length + 1  # BOS + generated
@@ -268,6 +291,26 @@ def _generate_fast(
     bridge_cache = _build_cross_cache(
         params["bridge"], br_cfg, vision, L, activation_dtype,
         kv_quant=gen.kv_quant)
+    if use_fused_bridge:
+        # head-major cache layouts for the whole-bridge kernel: Mosaic
+        # cannot lane-slice at the 288-wide cross heads, so per-(block,
+        # head) tiles are delivered by BlockSpec index maps instead; the
+        # self cache is rounded to a multiple of 8 rows for the in-place
+        # window write (see ops/decode_kernels.fused_bridge_step)
+        nb, Hs = br_cfg.num_blocks, br_cfg.num_heads_self
+        S8 = ((L + 63) // 64) * 64
+        Ds = br_cfg.language_dim // Hs
+        bstacked = bridge.stack_bridge_decode_params(params["bridge"], br_cfg)
+        bridge_cache = bridge_cache._replace(
+            cross_k=jnp.transpose(bridge_cache.cross_k, (0, 3, 1, 2, 4)),
+            cross_v=jnp.transpose(bridge_cache.cross_v, (0, 3, 1, 2, 4)),
+            cross_k_scale=jnp.transpose(
+                bridge_cache.cross_k_scale, (0, 3, 1, 2)),
+            cross_v_scale=jnp.transpose(
+                bridge_cache.cross_v_scale, (0, 3, 1, 2)),
+            self_k=jnp.zeros((nb, Hs, B, S8, Ds), activation_dtype),
+            self_v=jnp.zeros((nb, Hs, B, S8, Ds), activation_dtype),
+        )
     # fully-int8 LMs decode through the whole-stack pipelined Pallas kernel
     # (ONE launch for all layers per token; per-layer fused kernels
     # measured 0.89x of XLA because each kernel serialized its own weight
@@ -289,6 +332,9 @@ def _generate_fast(
         embed = gemma2.embed(params["lm"], tok[:, None]).astype(activation_dtype)
         if gen.bypass_bridge:
             bridged = embed
+        elif use_fused_bridge:
+            bridged, bridge_cache = _bridge_decode_step_fused(
+                bstacked, br_cfg, bridge_cache, embed, t)
         else:
             bridged, bridge_cache = _bridge_decode_step(
                 params["bridge"], br_cfg, bridge_cache, embed, t)
@@ -358,11 +404,12 @@ def _generate_fast(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "gen", "activation_dtype", "use_fused"))
+    static_argnames=("cfg", "gen", "activation_dtype", "use_fused",
+                     "use_fused_bridge"))
 def _generate_e2e(
     params, cfg: VLMConfig, pixel_values: jax.Array, rng: jax.Array,
     gen: GenerationConfig, activation_dtype=jnp.bfloat16,
-    use_fused: bool = False,
+    use_fused: bool = False, use_fused_bridge: bool = False,
 ):
     """encode + fast decode as ONE program: a single dispatch/RPC on remote
     accelerators (two back-to-back jit calls measured ~50 ms of host gaps
@@ -370,7 +417,8 @@ def _generate_e2e(
     vision = full_model.encode_image(params, cfg, pixel_values)
     return _generate_fast(params, cfg, vision, rng, gen,
                           activation_dtype=activation_dtype,
-                          use_fused=use_fused)
+                          use_fused=use_fused,
+                          use_fused_bridge=use_fused_bridge)
 
 
 @functools.partial(
@@ -461,6 +509,9 @@ def generate_tokens(
         # would need shard_map wrapping (not wired) — keep the jnp path
         kwargs["use_fused"] = (mesh is None
                                and _fused_decode_available(params, cfg, gen))
+        kwargs["use_fused_bridge"] = (
+            kwargs["use_fused"] and not gen.bypass_bridge
+            and bridge.supports_fused_decode(params["bridge"]))
     if mesh is not None:
         with mesh:
             if vision_features is None:

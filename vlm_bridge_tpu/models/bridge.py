@@ -129,6 +129,83 @@ def quantize_decode_params(params: dict) -> dict:
     return {"blocks": blocks}
 
 
+def supports_fused_decode(params: dict) -> bool:
+    """True when every projection the whole-bridge decode kernel streams is
+    int8 (i.e. quantize_decode_params ran): cross q/o, fused self qkv,
+    self o, ffn fc1/fc2."""
+    for bp in params["blocks"].values():
+        if not (isinstance(bp["cross"].get("q"), dict)
+                and isinstance(bp["cross"].get("o"), dict)
+                and isinstance(bp["self"].get("qkv"), dict)
+                and isinstance(bp["self"].get("o"), dict)
+                and isinstance(bp["ffn"].get("fc1"), dict)
+                and isinstance(bp["ffn"].get("fc2"), dict)):
+            return False
+    return True
+
+
+def stack_bridge_decode_params(params: dict, cfg: BridgeConfig) -> dict:
+    """Block-stack the int8 bridge weights head-major for the whole-bridge
+    decode kernel (ops/decode_kernels.fused_bridge_step).
+
+    Head-major layouts exist because Mosaic cannot slice the lane dim at
+    non-128-aligned offsets (the cross head dim is ld/Hc = 288 at the
+    default config): per-(block, head) weight blocks are delivered by
+    BlockSpec index maps instead of in-kernel slicing. Done once per
+    generate call (~90 MB on-device copy), amortized over the caption
+    batch."""
+    nb = cfg.num_blocks
+    ld = cfg.language_dim
+    Hc, Hs = cfg.num_heads_cross, cfg.num_heads_self
+    Dc, Ds = ld // Hc, ld // Hs
+    f32 = jnp.float32
+    bps = [params["blocks"][str(b)] for b in range(nb)]
+
+    def stk(get):
+        return jnp.stack([get(bp) for bp in bps])
+
+    def qkv_w(bp):
+        w = bp["self"]["qkv"]["w_int8"].reshape(ld, 3, Hs, Ds)
+        return jnp.transpose(w, (2, 0, 1, 3)).reshape(Hs, ld, 3 * Ds)
+
+    def qkv_s(bp):
+        s = bp["self"]["qkv"]["scale"].astype(f32).reshape(3, Hs, Ds)
+        return jnp.transpose(s, (1, 0, 2)).reshape(Hs, 1, 3 * Ds)
+
+    def qkv_b(bp):
+        b3 = jnp.stack([bp["self"][k].astype(f32).reshape(Hs, Ds)
+                        for k in ("q_bias", "k_bias", "v_bias")], axis=1)
+        return b3.reshape(Hs, 1, 3 * Ds)
+
+    return {
+        "lns": stk(lambda bp: jnp.stack([
+            bp["ln_cross"]["scale"], bp["ln_cross"]["bias"],
+            bp["ln_self"]["scale"], bp["ln_self"]["bias"],
+            bp["ln_ffn"]["scale"], bp["ln_ffn"]["bias"]]).astype(f32)),
+        "wq": stk(lambda bp: jnp.transpose(
+            bp["cross"]["q"]["w_int8"].reshape(ld, Hc, Dc), (1, 0, 2))),
+        "qsc": stk(lambda bp:
+                   bp["cross"]["q"]["scale"].astype(f32).reshape(Hc, 1, Dc)),
+        "qb": stk(lambda bp:
+                  bp["cross"]["q_bias"].astype(f32).reshape(Hc, 1, Dc)),
+        "woc": stk(lambda bp: bp["cross"]["o"]["w_int8"].reshape(Hc, Dc, ld)),
+        "wocs": stk(lambda bp: bp["cross"]["o"]["scale"].astype(f32)[None]),
+        "obc": stk(lambda bp: bp["cross"]["o_bias"].astype(f32)[None]),
+        "wqkv": stk(qkv_w),
+        "qkvs": stk(qkv_s),
+        "qkvb": stk(qkv_b),
+        "wos": stk(lambda bp: bp["self"]["o"]["w_int8"].reshape(Hs, Ds, ld)),
+        "woss": stk(lambda bp: bp["self"]["o"]["scale"].astype(f32)[None]),
+        "obs": stk(lambda bp: bp["self"]["o_bias"].astype(f32)[None]),
+        "fc1": stk(lambda bp: bp["ffn"]["fc1"]["w_int8"]),
+        "f1s": stk(lambda bp: bp["ffn"]["fc1"]["scale"].astype(f32)[None]),
+        "f1b": stk(lambda bp: bp["ffn"]["fc1_bias"].astype(f32)[None]),
+        "fc2": stk(lambda bp: bp["ffn"]["fc2"]["w_int8"]),
+        "f2s": stk(lambda bp: bp["ffn"]["fc2"]["scale"].astype(f32)[None]),
+        "f2b": stk(lambda bp: bp["ffn"]["fc2_bias"].astype(f32)[None]),
+    }
+
+
 def _dropout(x, rate, rng, train):
     if not train or rate == 0.0 or rng is None:
         return x

@@ -36,6 +36,7 @@ the no-cache loop in full_model.py:241-373).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -526,6 +527,7 @@ def fused_stack_step(
     S = kc.shape[2]
     KHD = num_kv_heads * head_dim
     QHD = num_heads * head_dim
+    block_f = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_F", block_f))
     if F <= block_f:
         block_f = F
     else:
@@ -706,3 +708,361 @@ def fused_mlp_step(
       d_s[None, :].astype(jnp.float32),
       pre_norm[None, :].astype(jnp.float32),
       post_norm[None, :].astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Whole-bridge decode step kernel (both BridgeBlocks in one launch)
+# ---------------------------------------------------------------------------
+
+
+def _ln(xf: jax.Array, scale_row: jax.Array, bias_row: jax.Array,
+        eps: float) -> jax.Array:
+    """f32 LayerNorm (mean-subtract, biased — torch nn.LayerNorm semantics,
+    reference bridge_module.py norms). xf: [M, H]; scale/bias: [1, H]."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    d = xf - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return d * jax.lax.rsqrt(var + eps) * scale_row + bias_row
+
+
+def _bridge_kernel(
+    t_ref,        # SMEM [1]
+    x_ref,        # [B, ld] bf16 — token embedding (bridge input)
+    lns_ref,      # block (1, 6, ld) f32: cross/self/ffn LN (scale, bias)
+    wq_ref,       # block (1, 1, ld, Dc) int8 — cross q proj, head-major
+    qsc_ref,      # block (1, 1, 1, Dc) f32
+    qb_ref,       # block (1, 1, 1, Dc) f32
+    ck_ref,       # block (1, 1, B, Sv, Dc) int8 — cross K, head-major
+    cks_ref,      # block (1, 1, B, Sv) f32
+    cv_ref,       # block (1, 1, B, Sv, Dc) int8
+    cvs_ref,      # block (1, 1, B, Sv) f32
+    woc_ref,      # block (1, 1, Dc, ld) int8 — cross o proj rows for head
+    wocs_ref,     # block (1, 1, ld) f32 (per-out scale, applied at the end)
+    obc_ref,      # block (1, 1, ld) f32 (o bias)
+    wqkv_ref,     # block (1, 1, ld, 3*Ds) int8 — per-head fused self qkv
+    qkvs_ref,     # block (1, 1, 1, 3*Ds) f32
+    qkvb_ref,     # block (1, 1, 1, 3*Ds) f32
+    sk_ref,       # block (1, 1, B, S, Ds) bf16 — self K cache, head-major
+    sv_ref,       # block (1, 1, B, S, Ds) bf16
+    wos_ref,      # block (1, 1, Ds, ld) int8 — self o proj rows for head
+    woss_ref,     # block (1, 1, ld) f32
+    obs_ref,      # block (1, 1, ld) f32
+    f1_ref,       # block (1, ld, Fb) int8
+    f1s_ref,      # block (1, 1, Fb) f32
+    f1b_ref,      # block (1, 1, Fb) f32
+    f2_ref,       # block (1, Fb, ld) int8
+    f2s_ref,      # block (1, 1, ld) f32
+    f2b_ref,      # block (1, 1, ld) f32
+    xo_ref,       # out [B, ld] bf16
+    kw_ref,       # out block (1, 1, B, 8, Ds) bf16: row-t window of self K,
+                  # ALIASED onto sk (masked RMW of row t%8)
+    vw_ref,       # out block (1, 1, B, 8, Ds) bf16
+    x_scr, h_scr, oacc,          # VMEM scratch: residual f32, LN'd bf16,
+                                 # shared o/ffn accumulator f32
+    *,
+    num_blocks: int,
+    hc: int,
+    hs: int,
+    dc: int,
+    ds: int,
+    n_f: int,
+    eps: float,
+):
+    """Whole-bridge decode step: grid (num_blocks, 1 + Hc + Hs + n_f).
+
+    j == 0              : cross LayerNorm (+ residual load at b==0)
+    j in [1, Hc]        : cross-attention head j-1 (q proj, softmax over the
+                          precomputed int8 vision K/V, o-proj partial)
+    j in [Hc+1, Hc+Hs]  : self-attention head j-Hc-1 (per-head fused qkv
+                          proj, causal cache attention, in-place cache row
+                          write, o-proj partial); head 0 finalizes cross
+    j in [Hc+Hs+1, ...] : FFN chunk (gelu_exact GEGLU-less classic FFN);
+                          chunk 0 finalizes self; the last chunk adds the
+                          residual and (at b == num_blocks-1) writes x_out
+
+    Replaces ~20 XLA ops + 10 int8-kernel launches per token (profiled at
+    ~0.86 ms/token together with embed/sampling glue in the r3 batch-64
+    serving trace) with ONE launch streaming the bridge's int8 weights.
+    Parity oracle: inference/generate._bridge_decode_step (the jnp path,
+    itself pinned to the reference bridge, bridge_module.py:106-311).
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    B, ld = x_ref.shape
+    Sv = ck_ref.shape[3]
+    S = sk_ref.shape[3]
+    t = t_ref[0]
+    c_scale = dc ** -0.5
+    s_scale = ds ** -0.5
+
+    @pl.when(j == 0)
+    def _cross_ln():
+        @pl.when(b == 0)
+        def _load_x():
+            x_scr[...] = x_ref[...].astype(jnp.float32)
+
+        oacc[...] = jnp.zeros_like(oacc)
+        h_scr[...] = _ln(x_scr[...], lns_ref[0, 0][None, :],
+                         lns_ref[0, 1][None, :], eps).astype(jnp.bfloat16)
+
+    @pl.when(jnp.logical_and(j >= 1, j <= hc))
+    def _cross_head():
+        qh = jax.lax.dot_general(
+            h_scr[...], wq_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qh = qh * qsc_ref[0, 0, 0][None, :] + qb_ref[0, 0, 0][None, :]
+        # Mosaic batched dots need a non-contracting lhs dim: insert a unit
+        # T dim while f32 (packed-bf16 2D->3D shape casts are unsupported)
+        qh3 = qh[:, None, :].astype(jnp.bfloat16)
+        K = ck_ref[0, 0].astype(jnp.bfloat16)
+        lg = jax.lax.dot_general(
+            qh3, K, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        lg = lg * (cks_ref[0, 0] * c_scale)[:, None, :]
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        e = jnp.exp(lg - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        pv = (p * cvs_ref[0, 0][:, None, :]).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            pv, cv_ref[0, 0].astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        oacc[...] += jax.lax.dot_general(
+            out[:, 0, :].astype(jnp.bfloat16),
+            woc_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(j >= hc + 1, j <= hc + hs))
+    def _self_head():
+        @pl.when(j == hc + 1)
+        def _finalize_cross():
+            x_scr[...] = (x_scr[...] + oacc[...] * wocs_ref[0, 0][None, :]
+                          + obc_ref[0, 0][None, :])
+            h_scr[...] = _ln(x_scr[...], lns_ref[0, 2][None, :],
+                             lns_ref[0, 3][None, :], eps).astype(jnp.bfloat16)
+            oacc[...] = jnp.zeros_like(oacc)
+
+        qkvh = jax.lax.dot_general(
+            h_scr[...], wqkv_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkvh = (qkvh * qkvs_ref[0, 0, 0][None, :]
+                + qkvb_ref[0, 0, 0][None, :])
+        qh = qkvh[:, :ds]
+        k_new = qkvh[:, ds:2 * ds]
+        v_new = qkvh[:, 2 * ds:]
+
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        hist_valid = (s_iota < t)
+        K = sk_ref[0, 0].astype(jnp.bfloat16)
+        V = sv_ref[0, 0].astype(jnp.bfloat16)
+        qh3 = qh[:, None, :].astype(jnp.bfloat16)
+        lg = jax.lax.dot_general(
+            qh3, K, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * s_scale
+        lg = jnp.where(hist_valid, lg, -1e30)
+        ls = (jnp.sum(qh * k_new, axis=-1, keepdims=True)
+              * s_scale)[:, None, :]
+        m = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True), ls)
+        e = jnp.where(hist_valid, jnp.exp(lg - m), 0.0)
+        es = jnp.exp(ls - m)
+        den = jnp.sum(e, axis=-1, keepdims=True) + es
+        out = jax.lax.dot_general(
+            (e / den).astype(jnp.bfloat16), V, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out2 = out[:, 0, :] + (es / den)[:, 0, :] * v_new
+        oacc[...] += jax.lax.dot_general(
+            out2.astype(jnp.bfloat16), wos_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # in-place causal-cache row write (masked RMW of the 8-row window)
+        sub = t % 8
+        wstart = (t // 8) * 8
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+        old_k = sk_ref[0, 0, :, pl.dslice(wstart, 8), :]
+        old_v = sv_ref[0, 0, :, pl.dslice(wstart, 8), :]
+        kw_ref[0, 0] = jnp.where(
+            w_iota == sub, k_new[:, None, :].astype(jnp.bfloat16), old_k)
+        vw_ref[0, 0] = jnp.where(
+            w_iota == sub, v_new[:, None, :].astype(jnp.bfloat16), old_v)
+
+    @pl.when(j >= hc + hs + 1)
+    def _ffn():
+        @pl.when(j == hc + hs + 1)
+        def _finalize_self():
+            x_scr[...] = (x_scr[...] + oacc[...] * woss_ref[0, 0][None, :]
+                          + obs_ref[0, 0][None, :])
+            h_scr[...] = _ln(x_scr[...], lns_ref[0, 4][None, :],
+                             lns_ref[0, 5][None, :], eps).astype(jnp.bfloat16)
+            oacc[...] = jnp.zeros_like(oacc)
+
+        g = jax.lax.dot_general(
+            h_scr[...], f1_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g = g * f1s_ref[0, 0][None, :] + f1b_ref[0, 0][None, :]
+        # Mosaic does not lower erf/erfc; polynomial erf matches
+        # jax.nn.gelu(approximate=False) to ~1e-7 (ops/quant._erf_poly)
+        from vlm_bridge_tpu.ops.quant import _gelu_exact_poly
+        a = _gelu_exact_poly(g).astype(jnp.bfloat16)
+        oacc[...] += jax.lax.dot_general(
+            a, f2_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == hc + hs + n_f)
+        def _finalize_ffn():
+            x_scr[...] = (x_scr[...] + oacc[...] * f2s_ref[0, 0][None, :]
+                          + f2b_ref[0, 0][None, :])
+
+            @pl.when(b == num_blocks - 1)
+            def _write_out():
+                xo_ref[...] = x_scr[...].astype(xo_ref.dtype)
+
+
+def fused_bridge_step(
+    t: jax.Array,
+    x: jax.Array,
+    bst: dict,
+    ck: jax.Array, cks: jax.Array, cv: jax.Array, cvs: jax.Array,
+    sk: jax.Array, sv: jax.Array,
+    *,
+    num_heads_cross: int,
+    num_heads_self: int,
+    eps: float,
+    block_f: int = 4608,
+):
+    """One decode step through BOTH BridgeBlocks in one pallas_call.
+
+    bst: layer-stacked head-major int8 bridge weights
+    (models/bridge.stack_bridge_decode_params). Caches:
+      ck/cv [nb, Hc, B, Sv, Dc] int8 with scales cks/cvs [nb, Hc, B, Sv]
+      (head-major transpose of the standard cross cache);
+      sk/sv [nb, Hs, B, S, Ds] bf16 causal self caches, S a multiple of 8.
+    Returns (x_out [B, ld], sk', sv') — sk'/sv' ARE the inputs updated in
+    place at row t (input_output_aliases + masked 8-row-window RMW, same
+    pattern as fused_stack_step).
+    """
+    B, ld = x.shape
+    nb, Hc = bst["wq"].shape[:2]
+    Hs = bst["wqkv"].shape[1]
+    Dc = ld // num_heads_cross
+    Ds = ld // num_heads_self
+    Sv = ck.shape[3]
+    S = sk.shape[3]
+    F = bst["fc1"].shape[2]
+    if F <= block_f:
+        block_f = F
+    else:
+        block_f = next((f for f in range(block_f, 0, -128) if F % f == 0), F)
+    n_f = F // block_f
+    t_arr = jnp.reshape(t, (1,)).astype(jnp.int32)
+
+    kern = functools.partial(
+        _bridge_kernel, num_blocks=nb, hc=Hc, hs=Hs, dc=Dc, ds=Ds,
+        n_f=n_f, eps=eps)
+
+    # index helpers: each operand's block index switches exactly at the
+    # grid step that consumes it (fetch lands one step earlier, hidden
+    # behind the previous stage's compute — see fused_stack_step notes)
+    def chx(*zeros):
+        def ix(b, j, t_s):
+            return (b, jnp.clip(j - 1, 0, Hc - 1)) + tuple(
+                0 for _ in zeros)
+        return ix
+
+    def shx(*zeros, win=False):
+        def ix(b, j, t_s):
+            on = j >= Hc + 1
+            bb = jnp.where(on, b, jnp.maximum(b - 1, 0))
+            h = jnp.where(on, jnp.clip(j - (Hc + 1), 0, Hs - 1),
+                          jnp.where(b == 0, 0, Hs - 1))
+            tail = tuple(0 for _ in zeros)
+            if win:
+                tail = (0, t_s[0] // 8, 0)
+            return (bb, h) + tail
+        return ix
+
+    def ffx(f_dim):
+        def ix(b, j, t_s):
+            on = j >= Hc + Hs + 1
+            bb = jnp.where(on, b, jnp.maximum(b - 1, 0))
+            c = jnp.where(on, jnp.clip(j - (Hc + Hs + 1), 0, n_f - 1),
+                          jnp.where(b == 0, 0, n_f - 1))
+            return (bb, 0, c) if f_dim == 2 else (bb, c, 0)
+        return ix
+
+    grid = (nb, 1 + Hc + Hs + n_f)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, ld), lambda b, j, t_s: (0, 0)),
+            pl.BlockSpec((1, 6, ld), lambda b, j, t_s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, ld, Dc), chx(0, 0)),
+            pl.BlockSpec((1, 1, 1, Dc), chx(0, 0)),
+            pl.BlockSpec((1, 1, 1, Dc), chx(0, 0)),
+            pl.BlockSpec((1, 1, B, Sv, Dc), chx(0, 0, 0)),
+            pl.BlockSpec((1, 1, B, Sv), chx(0, 0)),
+            pl.BlockSpec((1, 1, B, Sv, Dc), chx(0, 0, 0)),
+            pl.BlockSpec((1, 1, B, Sv), chx(0, 0)),
+            pl.BlockSpec((1, 1, Dc, ld), chx(0, 0)),
+            pl.BlockSpec((1, 1, ld), lambda b, j, t_s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, ld), lambda b, j, t_s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, ld, 3 * Ds), shx(0, 0)),
+            pl.BlockSpec((1, 1, 1, 3 * Ds), shx(0, 0)),
+            pl.BlockSpec((1, 1, 1, 3 * Ds), shx(0, 0)),
+            pl.BlockSpec((1, 1, B, S, Ds), shx(0, 0, 0)),
+            pl.BlockSpec((1, 1, B, S, Ds), shx(0, 0, 0)),
+            pl.BlockSpec((1, 1, Ds, ld), shx(0, 0)),
+            pl.BlockSpec((1, 1, ld), lambda b, j, t_s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, ld), lambda b, j, t_s: (b, 0, 0)),
+            pl.BlockSpec((1, ld, block_f), ffx(2)),
+            pl.BlockSpec((1, 1, block_f), ffx(2)),
+            pl.BlockSpec((1, 1, block_f), ffx(2)),
+            pl.BlockSpec((1, block_f, ld), ffx(1)),
+            pl.BlockSpec((1, 1, ld), lambda b, j, t_s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, ld), lambda b, j, t_s: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, ld), lambda b, j, t_s: (0, 0)),
+            pl.BlockSpec((1, 1, B, 8, Ds),
+                         lambda b, j, t_s: (b, jnp.clip(j - (Hc + 1), 0,
+                                                        Hs - 1),
+                                            0, t_s[0] // 8, 0)),
+            pl.BlockSpec((1, 1, B, 8, Ds),
+                         lambda b, j, t_s: (b, jnp.clip(j - (Hc + 1), 0,
+                                                        Hs - 1),
+                                            0, t_s[0] // 8, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, ld), jnp.float32),
+            pltpu.VMEM((B, ld), jnp.bfloat16),
+            pltpu.VMEM((B, ld), jnp.float32),
+        ],
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, ld), x.dtype),
+            jax.ShapeDtypeStruct(sk.shape, sk.dtype),
+            jax.ShapeDtypeStruct(sv.shape, sv.dtype),
+        ],
+        # sk/sv are operand indices 16/17 counting the scalar-prefetch t
+        input_output_aliases={16: 1, 17: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(t_arr, x,
+      bst["lns"], bst["wq"], bst["qsc"], bst["qb"],
+      ck, cks, cv, cvs,
+      bst["woc"], bst["wocs"], bst["obc"],
+      bst["wqkv"], bst["qkvs"], bst["qkvb"],
+      sk, sv,
+      bst["wos"], bst["woss"], bst["obs"],
+      bst["fc1"], bst["f1s"], bst["f1b"],
+      bst["fc2"], bst["f2s"], bst["f2b"])
+    return outs
