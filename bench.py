@@ -129,6 +129,15 @@ def _stream_quantized_params(cfg, quantize):
         lp = put_filled(lm_sh["layers"][name])
         lm["layers"][name] = gemma2.quantize_layer(lp, lm_parts)
         del lp  # free this layer's bf16 before shipping the next
+    if set(("mlp", "attn")) <= set(lm_parts):
+        # convert to the layer-STACKED layout the whole-stack decode
+        # kernel consumes, freeing each per-layer weight as its field is
+        # stacked: peak = int8 model + one field (~2.2 GB at 9B), which is
+        # what makes the fused kernel reachable on a 16 GB chip (a plain
+        # generate-time copy would need 2x the 8.4 GB of layers)
+        lm["stacked_decode"] = gemma2.stack_decode_params(
+            lm, cfg.lm, free_layers=True)
+        del lm["layers"]
     params = {"vision": vision, "lm": lm, "bridge": bridge_p}
     jax.block_until_ready(params)
     print(f"[stream-init] built int8 params on-device in "

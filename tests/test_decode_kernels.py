@@ -257,3 +257,38 @@ def test_fused_bridge_step_matches_jnp():
     want = np.transpose(np.asarray(cache_j.self_k)[:, :, :3],
                         (0, 3, 1, 2, 4))
     np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_decode_step_stacked_chunked_matches(monkeypatch):
+    """Force the chunked projection stages (the 9B VMEM layout) on tiny
+    dims: same math as the collapsed single-chunk structure."""
+    cfg = _cfg()
+    _, qparams = _quantized(cfg)
+    stacked = gemma2.stack_decode_params(qparams, cfg)
+    B, L = 2, 16
+    rng = np.random.default_rng(11)
+
+    caches = {}
+    outs = {}
+    for name, env in (("collapsed", None), ("chunked", str(cfg.head_dim))):
+        if env is None:
+            monkeypatch.delenv("VLM_BRIDGE_STACK_BLOCK_PROJ", raising=False)
+        else:
+            monkeypatch.setenv("VLM_BRIDGE_STACK_BLOCK_PROJ", env)
+        c = gemma2.StackedKVCache.zeros(cfg, B, L)
+        rng2 = np.random.default_rng(11)
+        hs = []
+        for t in range(3):
+            tok = jnp.asarray(rng2.normal(0, 1, (B, 1, cfg.hidden_size)),
+                              jnp.float32)
+            h, c = gemma2.decode_step_stacked(
+                qparams, cfg, stacked, tok, c, jnp.int32(t))
+            hs.append(np.asarray(h))
+        caches[name], outs[name] = c, hs
+    for t in range(3):
+        scale = float(np.abs(outs["collapsed"][t]).max())
+        np.testing.assert_allclose(
+            outs["chunked"][t], outs["collapsed"][t], atol=2e-3 * scale,
+            err_msg=f"chunked diverged at t={t}")
+    np.testing.assert_array_equal(np.asarray(caches["chunked"].k),
+                                  np.asarray(caches["collapsed"].k))

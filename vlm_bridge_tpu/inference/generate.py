@@ -242,11 +242,23 @@ def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bo
     from vlm_bridge_tpu.ops.attention import _use_pallas as _pallas_on
 
     if os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP"):
+        if "layers" not in params["lm"]:
+            raise ValueError(
+                "VLM_BRIDGE_DEBUG_FORCE_JNP is set but params carry only "
+                "pre-stacked decode weights (stacked_decode) — the jnp "
+                "path needs per-layer weights")
         return False
     if not (gen.kv_quant and not gen.exact
-            and (_pallas_on() or _dk.INTERPRET)
-            and gemma2.supports_fused_decode(
-                params["lm"], cfg.lm, gen.max_length + 1)):
+            and (_pallas_on() or _dk.INTERPRET)):
+        return False
+    if "stacked_decode" in params["lm"]:
+        # pre-stacked weights (the 9B layer-streamed build): no extra copy
+        # happens at generate time, so no free-memory check — only the
+        # cache-capacity precondition applies
+        S = ((gen.max_length + 1 + 63) // 64) * 64
+        return S <= cfg.lm.sliding_window
+    if not gemma2.supports_fused_decode(
+            params["lm"], cfg.lm, gen.max_length + 1):
         return False
     # stack_decode_params copies the int8 layer weights into layer-stacked
     # arrays; both live for the generate call, so the copy must fit the
@@ -318,7 +330,9 @@ def _generate_fast(
     # int8, so it also requires gen.kv_quant — the default serving recipe.
     # use_fused is static and decided by the caller.
     if use_fused:
-        stacked = gemma2.stack_decode_params(params["lm"], lm_cfg)
+        stacked = params["lm"].get("stacked_decode")
+        if stacked is None:
+            stacked = gemma2.stack_decode_params(params["lm"], lm_cfg)
         kv_cache = gemma2.StackedKVCache.zeros(lm_cfg, B, L)
     else:
         kv_cache = gemma2.KVCache.zeros(

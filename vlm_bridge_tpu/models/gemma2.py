@@ -193,39 +193,72 @@ class StackedKVCache(NamedTuple):
         )
 
 
-def stack_decode_params(params: dict, cfg: Gemma2Config) -> dict:
+def stack_decode_params(params: dict, cfg: Gemma2Config,
+                        free_layers: bool = False) -> dict:
     """Layer-stack the int8 decoder weights for fused_stack_step.
 
     Input layers must be fully int8 (supports_fused_decode). Done once per
     generate call (a ~2.2 GB on-device copy at the 2B scale, amortized over
-    the whole caption batch)."""
+    the whole caption batch).
+
+    free_layers=True deletes each per-layer weight right after the field
+    that consumes it is stacked (eager mode only; the caller must then use
+    the returned dict as `params["lm"]["stacked_decode"]` and drop
+    `params["lm"]["layers"]`). This bounds peak device memory at
+    int8-model + one stacked field, which is what lets the 9B stack
+    (8.4 GB of layers) convert on a 16 GB chip — a plain copy would need
+    2x the model."""
     L = cfg.num_layers
     lps = [params["layers"][str(i)] for i in range(L)]
 
     def stk(get):
         return jnp.stack([get(lp) for lp in lps])
 
-    return {
-        "wqkv": stk(lambda lp: lp["attn"]["qkv"]["w_int8"]),
-        "qkv_scale": stk(
-            lambda lp: lp["attn"]["qkv"]["scale"].astype(jnp.float32)[None]),
-        "wo": stk(lambda lp: lp["attn"]["o"]["w_int8"]),
-        "o_scale": stk(
-            lambda lp: lp["attn"]["o"]["scale"].astype(jnp.float32)[None]),
-        "norms": stk(lambda lp: jnp.stack([
-            lp["input_norm"].astype(jnp.float32),
-            lp["post_attn_norm"].astype(jnp.float32),
-            lp["pre_ffn_norm"].astype(jnp.float32),
-            lp["post_ffn_norm"].astype(jnp.float32)])),
-        "gate": stk(lambda lp: lp["mlp"]["gate"]["w_int8"]),
-        "up": stk(lambda lp: lp["mlp"]["up"]["w_int8"]),
-        "gu_scale": stk(lambda lp: jnp.stack([
-            lp["mlp"]["gate"]["scale"].astype(jnp.float32),
-            lp["mlp"]["up"]["scale"].astype(jnp.float32)])),
-        "down": stk(lambda lp: lp["mlp"]["down"]["w_int8"]),
-        "down_scale": stk(
-            lambda lp: lp["mlp"]["down"]["scale"].astype(jnp.float32)[None]),
-    }
+    def drop(*paths):
+        if not free_layers:
+            return
+        # fence pending stacks so the sources actually free before the
+        # next field allocates (async dispatch would otherwise keep
+        # several fields' sources alive at once)
+        jax.block_until_ready(list(out.values()))
+        for lp in lps:
+            for path in paths:
+                d = lp
+                for k in path[:-1]:
+                    d = d[k]
+                d.pop(path[-1], None)
+
+    QHD = cfg.num_heads * cfg.head_dim
+    out = {}
+    # fused qkv split at the Q|KV boundary: the kernel runs q and k|v
+    # projections as separate chunked stages (VMEM block budget)
+    out["wq"] = stk(lambda lp: lp["attn"]["qkv"]["w_int8"][:, :QHD])
+    out["q_scale"] = stk(
+        lambda lp: lp["attn"]["qkv"]["scale"][:QHD].astype(jnp.float32)[None])
+    out["wkv"] = stk(lambda lp: lp["attn"]["qkv"]["w_int8"][:, QHD:])
+    out["kv_scale"] = stk(
+        lambda lp: lp["attn"]["qkv"]["scale"][QHD:].astype(jnp.float32)[None])
+    drop(("attn", "qkv"))
+    out["wo"] = stk(lambda lp: lp["attn"]["o"]["w_int8"])
+    out["o_scale"] = stk(
+        lambda lp: lp["attn"]["o"]["scale"].astype(jnp.float32)[None])
+    drop(("attn", "o"))
+    out["norms"] = stk(lambda lp: jnp.stack([
+        lp["input_norm"].astype(jnp.float32),
+        lp["post_attn_norm"].astype(jnp.float32),
+        lp["pre_ffn_norm"].astype(jnp.float32),
+        lp["post_ffn_norm"].astype(jnp.float32)]))
+    out["gate"] = stk(lambda lp: lp["mlp"]["gate"]["w_int8"])
+    out["up"] = stk(lambda lp: lp["mlp"]["up"]["w_int8"])
+    out["gu_scale"] = stk(lambda lp: jnp.stack([
+        lp["mlp"]["gate"]["scale"].astype(jnp.float32),
+        lp["mlp"]["up"]["scale"].astype(jnp.float32)]))
+    drop(("mlp", "gate"), ("mlp", "up"))
+    out["down"] = stk(lambda lp: lp["mlp"]["down"]["w_int8"])
+    out["down_scale"] = stk(
+        lambda lp: lp["mlp"]["down"]["scale"].astype(jnp.float32)[None])
+    drop(("mlp", "down"))
+    return out
 
 
 def decode_step_stacked(

@@ -314,9 +314,11 @@ def fused_attn_step(
 def _stack_kernel(
     t_ref,        # SMEM [1]
     x_ref,        # [B, H] bf16 — initial residual stream
-    wqkv_ref,     # block (1, H, Wq) int8 of [L, H, Wq]
-    qkvs_ref,     # block (1, 1, Wq) f32
-    wo_ref,       # block (1, QHD, H) int8
+    wq_ref,       # block (1, H, bq) int8 of [L, H, QHD] — q projection
+    qs_ref,       # block (1, 1, bq) f32
+    wkv_ref,      # block (1, H, bkv) int8 of [L, H, 2*KHD] — k|v projection
+    kvs_ref,      # block (1, 1, bkv) f32
+    wo_ref,       # block (1, bo, H) int8 of [L, QHD, H]
     os_ref,       # block (1, 1, H) f32
     norms_ref,    # block (1, 4, H) f32: input/post_attn/pre_ffn/post_ffn
     cos_ref, sin_ref,            # [1, D] f32
@@ -332,10 +334,20 @@ def _stack_kernel(
                                  # (masked read-modify-write of row t%8 —
                                  # Mosaic requires 2nd-minor blocks >= 8)
     kns_ref, vns_ref,            # out block (1, KH, B) f32 scales
-    x_scr, qkv_scr, acc, hb,     # VMEM scratch
+    x_scr,                       # (B, H) f32 residual stream
+    q_scr,                       # (n_q, B, bq) f32 q-projection chunks
+    kv_scr,                      # (n_kv, B, bkv) f32 k|v-projection chunks
+    attn_scr,                    # (n_o, B, bo) f32 attention-output chunks
+    acc, hb,                     # (B, H) f32 accumulator / bf16 LN buffer
     *,
     num_layers: int,
+    n_q: int,
+    n_kv: int,
+    n_o: int,
     n_f: int,
+    bq: int,
+    bkv: int,
+    bo: int,
     num_heads: int,
     num_kv_heads: int,
     head_dim: int,
@@ -343,17 +355,25 @@ def _stack_kernel(
     softcap: float,
     eps: float,
 ):
-    """Whole-stack decode step: grid (L, 2 + n_f).
+    """Whole-stack decode step: grid (L, n_q + n_kv + 1 + n_o + n_f).
 
-    j == 0     : fused qkv projection (int8) into qkv_scr
-    j == 1     : RoPE + KV quantize + cache attention + o-proj + residual
-    j in [2..] : MLP block j-2 (gate/up/GELU/down accumulate); the last
-                 one adds the post-FFN residual; layer L-1 writes x_out
+    j in [0, n_q)       : q-projection column chunk j into q_scr
+    j in [n_q, n_q+n_kv): k|v-projection column chunk into kv_scr
+    j == SA             : RoPE + KV quantize + in-place cache write +
+                          cache attention into attn_scr
+    j in [SO0, SO0+n_o) : o-projection row chunk (accumulate) + residual
+    j in [SF0, ...)     : MLP chunk (gate/up/GELU/down accumulate); the
+                          last one adds the post-FFN residual; layer L-1
+                          writes x_out
 
-    One pallas_call for the whole 26-layer body means Pallas's grid
-    pipeline prefetches layer i+1's weight blocks during layer i's compute
-    — the cross-custom-call DMA serialization that made per-layer fused
-    kernels 0.89x of XLA (attn_micro r3) does not exist here.
+    One pallas_call for the whole stack means Pallas's grid pipeline
+    prefetches layer i+1's weight blocks during layer i's compute — the
+    cross-custom-call DMA serialization that made per-layer fused kernels
+    0.89x of XLA (attn_micro r3) does not exist here. Projections are
+    CHUNKED so no single weight block exceeds ~7.5 MB: double-buffered
+    blocks must fit the ~118 MB VMEM budget at the 9B shapes
+    (H=3584, QHD=4096, F=14336), and the un-chunked 2B kernel already sat
+    204 KB from the ceiling (block_f=4608 OOM, r3).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -363,33 +383,71 @@ def _stack_kernel(
     G = num_heads // num_kv_heads
     QHD = num_heads * D
     KHD = num_kv_heads * D
+    # stage layout (STATIC specialization): when a chunk count is 1 its
+    # stage collapses into a neighbour — single-chunk projections fuse into
+    # one j=0 stage and a single-chunk o-proj inlines into the attention
+    # stage. Grid steps carry a fixed sequencing cost (~5 us): the naive
+    # always-chunked layout measured 3.42 ms/token at 2B vs 3.07 for the
+    # collapsed 6-stage structure.
+    fuse_proj = (n_q == 1 and n_kv == 1)
+    SA = 1 if fuse_proj else n_q + n_kv
+    inline_o = (n_o == 1)
+    SF0 = SA + 1 + (0 if inline_o else n_o)
     t = t_ref[0]
 
-    @pl.when(jnp.logical_and(i == 0, j == 0))
-    def _load_x():
-        x_scr[...] = x_ref[...].astype(jnp.float32)
-
     @pl.when(j == 0)
-    def _qkv():
-        h = _rms(x_scr[...], norms_ref[0, 0][None, :], eps).astype(jnp.bfloat16)
-        qkv_scr[...] = jax.lax.dot_general(
-            h, wqkv_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * qkvs_ref[0, 0][None, :]
+    def _qhead():
+        @pl.when(i == 0)
+        def _load_x():
+            x_scr[...] = x_ref[...].astype(jnp.float32)
 
-    @pl.when(j == 1)
+        hb[...] = _rms(x_scr[...], norms_ref[0, 0][None, :],
+                       eps).astype(jnp.bfloat16)
+
+    if fuse_proj:
+        @pl.when(j == 0)
+        def _qkvproj():
+            q_scr[0] = jax.lax.dot_general(
+                hb[...], wq_ref[0].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * qs_ref[0, 0][None, :]
+            kv_scr[0] = jax.lax.dot_general(
+                hb[...], wkv_ref[0].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * kvs_ref[0, 0][None, :]
+    else:
+        @pl.when(j < n_q)
+        def _qproj():
+            q_scr[j] = jax.lax.dot_general(
+                hb[...], wq_ref[0].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * qs_ref[0, 0][None, :]
+
+        @pl.when(jnp.logical_and(j >= n_q, j < SA))
+        def _kvproj():
+            kv_scr[j - n_q] = jax.lax.dot_general(
+                hb[...], wkv_ref[0].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * kvs_ref[0, 0][None, :]
+
+    @pl.when(j == SA)
     def _attention():
-        qkv = qkv_scr[...]
         cos = cos_ref[...]
         sin = sin_ref[...]
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
         hist_valid = (s_iota < t)
 
+        def rd_q(off):
+            return q_scr[off // bq][:, off % bq: off % bq + D]
+
+        def rd_kv(off):
+            return kv_scr[off // bkv][:, off % bkv: off % bkv + D]
+
         attn_heads = []
         k_heads, v_heads, k_scales, v_scales = [], [], [], []
         for kh in range(num_kv_heads):
-            k_new = _rope_pair(
-                qkv[:, QHD + kh * D: QHD + (kh + 1) * D], cos, sin)
-            v_new = qkv[:, QHD + KHD + kh * D: QHD + KHD + (kh + 1) * D]
+            k_new = _rope_pair(rd_kv(kh * D), cos, sin)
+            v_new = rd_kv(KHD + kh * D)
             k_sc = jnp.maximum(
                 jnp.max(jnp.abs(k_new), axis=-1, keepdims=True), 1e-12) / 127.0
             v_sc = jnp.maximum(
@@ -414,8 +472,8 @@ def _stack_kernel(
             ks_hist = ks_ref[0, kh]
             vs_hist = vs_ref[0, kh]
 
-            qs = [_rope_pair(qkv[:, (kh * G + g) * D:(kh * G + g + 1) * D],
-                             cos, sin) for g in range(G)]
+            qs = [_rope_pair(rd_q((kh * G + g) * D), cos, sin)
+                  for g in range(G)]
             qg = jnp.concatenate([q[:, None, :] for q in qs], axis=1)
             lg = jax.lax.dot_general(
                 qg.astype(jnp.bfloat16), K_hist, (((2,), (2,)), ((0,), (0,))),
@@ -453,16 +511,44 @@ def _stack_kernel(
         kns_ref[0] = jnp.concatenate(k_scales, axis=-1).T
         vns_ref[0] = jnp.concatenate(v_scales, axis=-1).T
 
-        attn = jnp.concatenate(attn_heads, axis=-1)
-        proj = jax.lax.dot_general(
-            attn.astype(jnp.bfloat16), wo_ref[0].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * os_ref[0, 0][None, :]
-        x_scr[...] = x_scr[...] + _rms(proj, norms_ref[0, 1][None, :], eps)
+        if inline_o:
+            attn = jnp.concatenate(attn_heads, axis=-1)
+            proj = jax.lax.dot_general(
+                attn.astype(jnp.bfloat16), wo_ref[0].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * os_ref[0, 0][None, :]
+            x_scr[...] = x_scr[...] + _rms(proj, norms_ref[0, 1][None, :],
+                                           eps)
+        else:
+            per_chunk = bo // (G * D)
+            for c in range(n_o):
+                attn_scr[c] = jnp.concatenate(
+                    attn_heads[c * per_chunk:(c + 1) * per_chunk], axis=-1)
 
-    @pl.when(j >= 2)
+    if not inline_o:
+        @pl.when(jnp.logical_and(j >= SA + 1, j < SF0))
+        def _oproj():
+            c = j - (SA + 1)
+
+            @pl.when(c == 0)
+            def _o_init():
+                acc[...] = jnp.zeros_like(acc)
+
+            acc[...] += jax.lax.dot_general(
+                attn_scr[c].astype(jnp.bfloat16),
+                wo_ref[0].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(c == n_o - 1)
+            def _o_finish():
+                proj = acc[...] * os_ref[0, 0][None, :]
+                x_scr[...] = x_scr[...] + _rms(proj,
+                                               norms_ref[0, 1][None, :], eps)
+
+    @pl.when(j >= SF0)
     def _mlp():
-        @pl.when(j == 2)
+        @pl.when(j == SF0)
         def _mlp_init():
             acc[...] = jnp.zeros_like(acc)
             hb[...] = _rms(x_scr[...], norms_ref[0, 2][None, :],
@@ -480,7 +566,7 @@ def _stack_kernel(
             hf, d_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        @pl.when(j == n_f + 1)
+        @pl.when(j == SF0 + n_f - 1)
         def _mlp_finish():
             y = acc[...] * ds_ref[0, 0][None, :]
             x_scr[...] = x_scr[...] + _rms(y, norms_ref[0, 3][None, :], eps)
@@ -488,6 +574,16 @@ def _stack_kernel(
             @pl.when(i == num_layers - 1)
             def _write_out():
                 xo_ref[...] = x_scr[...].astype(xo_ref.dtype)
+
+
+def _pick_block(total: int, target: int, mult: int) -> int:
+    """Largest divisor of `total` that is a multiple of `mult` and <=
+    max(target, mult)."""
+    target = max(target, mult)
+    for cand in range(min(target, total), mult - 1, -mult):
+        if total % cand == 0:
+            return cand
+    return total
 
 
 def fused_stack_step(
@@ -504,39 +600,59 @@ def fused_stack_step(
     softcap: float,
     eps: float,
     block_f: int = 2304,
+    block_proj: int = 2048,
 ):
     """One lockstep decode step through ALL layers in one pallas_call.
 
     stacked: dict of layer-stacked weights (see gemma2.stack_decode_params):
-      wqkv [L,H,Wq] i8, qkv_scale [L,1,Wq], wo [L,QHD,H] i8, o_scale
-      [L,1,H], norms [L,4,H], gate/up [L,H,F] i8, gu_scale [L,2,F],
-      down [L,F,H] i8, down_scale [L,1,H].
+      wq [L,H,QHD] i8 + q_scale [L,1,QHD], wkv [L,H,2*KHD] i8 + kv_scale
+      [L,1,2*KHD], wo [L,QHD,H] i8 + o_scale [L,1,H], norms [L,4,H],
+      gate/up [L,H,F] i8 + gu_scale [L,2,F], down [L,F,H] i8 + down_scale
+      [L,1,H].
     caches: kc/vc [L, B, S, KH*D] int8, ks/vs [L, KH, B, S] f32.
     Returns (x_out [B,H], kc' [L,B,S,KHD] i8, vc', k_sc [L,KH,B] f32,
     v_sc). kc'/vc' ARE the input caches updated IN PLACE at row t
     (input_output_aliases + a scalar-prefetch output index map writes the
-    64 KB/layer new row from inside the kernel) — without the alias, XLA
+    row window from inside the kernel) — without the alias, XLA
     materializes two full-cache copies per step because a custom call
     consumes the old cache (measured 2x 0.2 ms at [26,64,64,1024],
     erasing the kernel's 3.0-vs-3.4 ms win over the jnp path). Scales are
     small ([L,KH,B] per step), so the caller scatters those normally.
+
+    Projections are chunked at `block_proj` columns/rows so every weight
+    block double-buffers inside the VMEM budget at 9B shapes.
     """
     B, H = x.shape
-    L, _, Wq = stacked["wqkv"].shape
+    L = stacked["wq"].shape[0]
     F = stacked["gate"].shape[2]
     S = kc.shape[2]
     KHD = num_kv_heads * head_dim
     QHD = num_heads * head_dim
+    D = head_dim
+    G = num_heads // num_kv_heads
     block_f = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_F", block_f))
     if F <= block_f:
         block_f = F
     else:
         block_f = next((b for b in range(block_f, 0, -128) if F % b == 0), F)
     n_f = F // block_f
+    block_proj = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_PROJ",
+                                    block_proj))
+    bq = _pick_block(QHD, block_proj, D)
+    bkv = _pick_block(2 * KHD, block_proj, D)
+    bo = _pick_block(QHD, block_proj, G * D)
+    n_q, n_kv, n_o = QHD // bq, (2 * KHD) // bkv, QHD // bo
+    # mirror the kernel's static stage collapsing (see _stack_kernel)
+    fuse_proj = (n_q == 1 and n_kv == 1)
+    SA = 1 if fuse_proj else n_q + n_kv
+    inline_o = (n_o == 1)
+    SO0 = SA + 1
+    SF0 = SO0 + (0 if inline_o else n_o)
     t_arr = jnp.reshape(t, (1,)).astype(jnp.int32)
 
     kern = functools.partial(
-        _stack_kernel, num_layers=L, n_f=n_f, num_heads=num_heads,
+        _stack_kernel, num_layers=L, n_q=n_q, n_kv=n_kv, n_o=n_o, n_f=n_f,
+        bq=bq, bkv=bkv, bo=bo, num_heads=num_heads,
         num_kv_heads=num_kv_heads, head_dim=head_dim,
         attn_scale=attn_scale, softcap=softcap, eps=eps)
 
@@ -545,48 +661,52 @@ def fused_stack_step(
     # ahead. Mapping every per-layer block to (i, ...) at j=0 front-loads
     # ~45 MB into the layer-boundary prefetch slot (~10 us of compute to
     # hide 55 us of DMA -> measured 3.54 ms/token, worse than XLA). So each
-    # block's index switches to layer i exactly at the step that needs it:
-    #   qkv at j=0; o/caches/scales at j=1; mlp block jj at j=jj+2.
+    # block's index switches to its layer/chunk exactly at the step that
+    # consumes it; before its stage group it pins to the PREVIOUS layer's
+    # last chunk (at layer 0: chunk 0, so the pipeline-fill fetch is the
+    # one actually used).
     def at_step(j_need, *zeros):
         def ix(i, j, t_s):
             layer = jnp.where(j >= j_need, i, jnp.maximum(i - 1, 0))
             return (layer,) + tuple(0 for _ in zeros)
         return ix
 
-    def mlp_j(dim0_is_f):
+    def grp(j0, n, dim0_is_chunk):
         def ix(i, j, t_s):
-            jj = jnp.clip(j - 2, 0, n_f - 1)
-            # during j<2 keep the PREVIOUS layer's last block resident so
-            # the first fetch (i, 0) lands during j=1 attention compute;
-            # at layer 0 point at block 0 so the pipeline-fill fetch is the
-            # one j=2 actually uses (no wasted refetch)
-            layer = jnp.where(j >= 2, i, jnp.maximum(i - 1, 0))
-            jj = jnp.where(j >= 2, jj, jnp.where(i == 0, 0, n_f - 1))
-            return (layer, jj, 0) if dim0_is_f else (layer, 0, jj)
+            on = j >= j0
+            layer = jnp.where(on, i, jnp.maximum(i - 1, 0))
+            c = jnp.where(on, jnp.clip(j - j0, 0, n - 1),
+                          jnp.where(i == 0, 0, n - 1))
+            return (layer, c, 0) if dim0_is_chunk else (layer, 0, c)
         return ix
 
-    grid = (L, 2 + n_f)
+    grid = (L, SF0 + n_f)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, H), lambda i, j, t_s: (0, 0)),
-            pl.BlockSpec((1, H, Wq), lambda i, j, t_s: (i, 0, 0)),
-            pl.BlockSpec((1, 1, Wq), lambda i, j, t_s: (i, 0, 0)),
-            pl.BlockSpec((1, QHD, H), at_step(1, 0, 0)),
-            pl.BlockSpec((1, 1, H), at_step(1, 0, 0)),
+            pl.BlockSpec((1, H, bq), grp(0, n_q, False)),
+            pl.BlockSpec((1, 1, bq), grp(0, n_q, False)),
+            pl.BlockSpec((1, H, bkv),
+                         grp(0 if fuse_proj else n_q, n_kv, False)),
+            pl.BlockSpec((1, 1, bkv),
+                         grp(0 if fuse_proj else n_q, n_kv, False)),
+            pl.BlockSpec((1, bo, H),
+                         grp(SA if inline_o else SO0, n_o, True)),
+            pl.BlockSpec((1, 1, H), at_step(SA if inline_o else SO0, 0, 0)),
             pl.BlockSpec((1, 4, H), lambda i, j, t_s: (i, 0, 0)),
             pl.BlockSpec((1, head_dim), lambda i, j, t_s: (0, 0)),
             pl.BlockSpec((1, head_dim), lambda i, j, t_s: (0, 0)),
-            pl.BlockSpec((1, B, S, KHD), at_step(1, 0, 0, 0)),
-            pl.BlockSpec((1, B, S, KHD), at_step(1, 0, 0, 0)),
-            pl.BlockSpec((1, num_kv_heads, B, S), at_step(1, 0, 0, 0)),
-            pl.BlockSpec((1, num_kv_heads, B, S), at_step(1, 0, 0, 0)),
-            pl.BlockSpec((1, H, block_f), mlp_j(False)),
-            pl.BlockSpec((1, H, block_f), mlp_j(False)),
-            pl.BlockSpec((1, 2, block_f), mlp_j(False)),
-            pl.BlockSpec((1, block_f, H), mlp_j(True)),
-            pl.BlockSpec((1, 1, H), at_step(2, 0, 0)),
+            pl.BlockSpec((1, B, S, KHD), at_step(SA, 0, 0, 0)),
+            pl.BlockSpec((1, B, S, KHD), at_step(SA, 0, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, B, S), at_step(SA, 0, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, B, S), at_step(SA, 0, 0, 0)),
+            pl.BlockSpec((1, H, block_f), grp(SF0, n_f, False)),
+            pl.BlockSpec((1, H, block_f), grp(SF0, n_f, False)),
+            pl.BlockSpec((1, 2, block_f), grp(SF0, n_f, False)),
+            pl.BlockSpec((1, block_f, H), grp(SF0, n_f, True)),
+            pl.BlockSpec((1, 1, H), at_step(SF0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((B, H), lambda i, j, t_s: (0, 0)),
@@ -601,7 +721,9 @@ def fused_stack_step(
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, Wq), jnp.float32),
+            pltpu.VMEM((n_q, B, bq), jnp.float32),
+            pltpu.VMEM((n_kv, B, bkv), jnp.float32),
+            pltpu.VMEM((n_o, B, bo), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.bfloat16),
         ],
@@ -616,16 +738,16 @@ def fused_stack_step(
             jax.ShapeDtypeStruct((L, num_kv_heads, B), jnp.float32),
             jax.ShapeDtypeStruct((L, num_kv_heads, B), jnp.float32),
         ],
-        # kc/vc are operand indices 9/10 counting the scalar-prefetch t
+        # kc/vc are operand indices 11/12 counting the scalar-prefetch t
         # (operand 0); aliasing them onto outputs 1/2 makes the row-t
         # window write in-place in HBM.
-        input_output_aliases={9: 1, 10: 2},
+        input_output_aliases={11: 1, 12: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=INTERPRET,
     )(t_arr, x,
-      stacked["wqkv"], stacked["qkv_scale"], stacked["wo"],
-      stacked["o_scale"], stacked["norms"], cos, sin,
+      stacked["wq"], stacked["q_scale"], stacked["wkv"], stacked["kv_scale"],
+      stacked["wo"], stacked["o_scale"], stacked["norms"], cos, sin,
       kc, vc, ks, vs,
       stacked["gate"], stacked["up"], stacked["gu_scale"],
       stacked["down"], stacked["down_scale"])
