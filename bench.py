@@ -78,7 +78,7 @@ def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
     }
 
 
-def _stream_quantized_params(cfg, quantize):
+def _stream_quantized_params(cfg, quantize, max_length=None):
     """Capacity path (gemma2_9b): build the int8 serving params WITHOUT the
     full 18.4 GB bf16 model ever existing on the 16 GB chip (or taking tens
     of single-core minutes on the host).
@@ -129,12 +129,18 @@ def _stream_quantized_params(cfg, quantize):
         lp = put_filled(lm_sh["layers"][name])
         lm["layers"][name] = gemma2.quantize_layer(lp, lm_parts)
         del lp  # free this layer's bf16 before shipping the next
-    if set(("mlp", "attn")) <= set(lm_parts):
+    cache_rows = (((max_length + 1 + 63) // 64) * 64
+                  if max_length is not None else 64)
+    if (set(("mlp", "attn")) <= set(lm_parts)
+            and cache_rows <= cfg.lm.sliding_window):
         # convert to the layer-STACKED layout the whole-stack decode
         # kernel consumes, freeing each per-layer weight as its field is
         # stacked: peak = int8 model + one field (~2.2 GB at 9B), which is
         # what makes the fused kernel reachable on a 16 GB chip (a plain
-        # generate-time copy would need 2x the 8.4 GB of layers)
+        # generate-time copy would need 2x the 8.4 GB of layers). Guarded
+        # by the fused path's own dispatch precondition (cache rows within
+        # the sliding window) — stacking weights the kernel can never
+        # serve would strand generate_tokens without per-layer weights.
         lm["stacked_decode"] = gemma2.stack_decode_params(
             lm, cfg.lm, free_layers=True)
         del lm["layers"]
@@ -177,7 +183,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         return params
 
     if host_init:
-        params = _stream_quantized_params(cfg, quantize)
+        params = _stream_quantized_params(cfg, quantize, max_length)
     else:
         params = quantize_tree(full_model.init(jax.random.key(0), cfg))
     rng = np.random.default_rng(0)
@@ -258,6 +264,11 @@ def main():
                          "attention algebra). Default on: measured 145.2 "
                          "vs 144.0 captions/s same-window at 2B batch 64, "
                          "and it carries the 9B capacity story")
+    ap.add_argument("--host-init", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="build int8 params via the layer-streamed "
+                         "eval_shape path (no full bf16 model on device); "
+                         "default: on for the gemma2_9b preset only")
     ap.add_argument("--platform", default=None,
                     help="force a JAX backend (the container sitecustomize "
                          "pins the TPU platform, so JAX_PLATFORMS alone "
@@ -312,13 +323,14 @@ def main():
         extras["decode_len"] = args.decode_len
         extras["decode_greedy"] = True
         extras["decode_early_stop"] = False
-        extras["decode_host_init"] = is_9b
+        host_init = args.host_init if args.host_init is not None else is_9b
+        extras["decode_host_init"] = host_init
         extras["decode_kv_int8"] = args.kv_int8
         extras.update(bench_decode(cfg, args.decode_batch, args.decode_len,
                                    quantize=args.quantize or None,
                                    bypass_bridge=args.bypass_bridge,
                                    kv_quant=args.kv_int8,
-                                   host_init=is_9b))
+                                   host_init=host_init))
         extras["decode_vs_baseline"] = (
             extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)
 

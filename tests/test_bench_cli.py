@@ -37,3 +37,15 @@ def test_decode_metric_json_with_kv_int8():
     assert out["metric"] == "decode_captions_per_sec_chip"
     assert out["value"] > 0
     assert out["decode_kv_int8"] is True
+
+
+def test_decode_host_init_stream_path():
+    """--host-init drives the layer-streamed eval_shape init hermetically.
+    On the tiny preset the 4-token caption's 64-row cache exceeds the
+    sliding window (8), so the stream init must KEEP per-layer weights
+    (not stack-and-free them) and the jnp decode path must serve."""
+    out = _run_bench("--skip-train", "--decode-batch", "2",
+                     "--decode-len", "4", "--host-init")
+    assert out["metric"] == "decode_captions_per_sec_chip"
+    assert out["value"] > 0
+    assert out["decode_host_init"] is True

@@ -203,3 +203,30 @@ def test_generate_mesh_batch_divisibility_error(setup):
         generate_tokens(
             shard_params(mesh, params), cfg, vision_features=vision,
             gen=GenerationConfig(max_length=3, greedy=True), mesh=mesh)
+
+
+def test_stacked_only_params_raise_clear_error(setup):
+    """Layer-streamed builds (bench._stream_quantized_params) drop the
+    per-layer LM weights after stacking; any path that cannot dispatch the
+    fused Pallas decode must fail with a ValueError, not a KeyError deep
+    inside decode_step."""
+    import dataclasses
+
+    cfg, params, vision = setup
+    lm_cfg = dataclasses.replace(cfg.lm, sliding_window=128)
+    cfg2 = dataclasses.replace(cfg, lm=lm_cfg)
+    qlm = gemma2.quantize_params(params["lm"], parts=("embedding", "mlp",
+                                                      "attn"))
+    stacked = {k: v for k, v in qlm.items() if k != "layers"}
+    stacked["stacked_decode"] = gemma2.stack_decode_params(qlm, lm_cfg)
+    p2 = {**params, "lm": stacked}
+    # exact mode has no fused path at all
+    with pytest.raises(ValueError, match="pre-stacked"):
+        generate_tokens(p2, cfg2, vision_features=vision,
+                        gen=GenerationConfig(max_length=5, greedy=True,
+                                             exact=True))
+    # fast mode without the int8-KV serving recipe cannot dispatch either
+    with pytest.raises(ValueError, match="pre-stacked"):
+        generate_tokens(p2, cfg2, vision_features=vision,
+                        gen=GenerationConfig(max_length=5, greedy=True,
+                                             kv_quant=False))

@@ -526,6 +526,20 @@ def generate_tokens(
         kwargs["use_fused_bridge"] = (
             kwargs["use_fused"] and not gen.bypass_bridge
             and bridge.supports_fused_decode(params["bridge"]))
+    if "layers" not in params["lm"] and not kwargs.get("use_fused"):
+        # layer-streamed builds (bench._stream_quantized_params) free the
+        # per-layer weights after stacking; every non-fused path would
+        # otherwise KeyError deep inside decode_step
+        S = ((gen.max_length + 1 + 63) // 64) * 64
+        raise ValueError(
+            "params['lm'] carries only pre-stacked decode weights "
+            "(stacked_decode), which serve only the fused Pallas decode "
+            "path, but that path cannot dispatch here (exact=%s, mesh=%s, "
+            "kv_quant=%s, cache rows %d must fit sliding_window=%d). "
+            "Rebuild the params with per-layer weights or use the fused "
+            "serving recipe (greedy/fast + int8 KV, no mesh)." % (
+                gen.exact, mesh is not None, gen.kv_quant, S,
+                cfg.lm.sliding_window))
     if mesh is not None:
         with mesh:
             if vision_features is None:

@@ -46,8 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vlm_bridge_tpu.ops.attention import _use_pallas
 
-# Tests flip this to exercise the kernels via the Pallas interpreter.
-INTERPRET = False
+# Tests flip this (or set VLM_BRIDGE_PALLAS_INTERPRET=1) to exercise the
+# kernels via the Pallas interpreter, e.g. to drive the fused decode path
+# in a CPU subprocess (tests/test_bench_cli.py host-init test).
+INTERPRET = bool(os.environ.get("VLM_BRIDGE_PALLAS_INTERPRET"))
 
 # Attention inner-product strategy (microbenched on v5e, scripts/attn_micro.py):
 #   "dots"  — per-(kv-head, group) batched dot_general: Mosaic lowers the
