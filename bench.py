@@ -129,10 +129,13 @@ def _stream_quantized_params(cfg, quantize, max_length=None):
         lp = put_filled(lm_sh["layers"][name])
         lm["layers"][name] = gemma2.quantize_layer(lp, lm_parts)
         del lp  # free this layer's bf16 before shipping the next
+    import os
+
     cache_rows = (((max_length + 1 + 63) // 64) * 64
                   if max_length is not None else 64)
     if (set(("mlp", "attn")) <= set(lm_parts)
-            and cache_rows <= cfg.lm.sliding_window):
+            and cache_rows <= cfg.lm.sliding_window
+            and not os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP")):
         # convert to the layer-STACKED layout the whole-stack decode
         # kernel consumes, freeing each per-layer weight as its field is
         # stacked: peak = int8 model + one field (~2.2 GB at 9B), which is
@@ -182,9 +185,11 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
                     params["bridge"])
         return params
 
-    if host_init:
-        params = _stream_quantized_params(cfg, quantize, max_length)
-    else:
+    def build_params(prestack):
+        if host_init:
+            # on the fallback path VLM_BRIDGE_DEBUG_FORCE_JNP is set, which
+            # _stream_quantized_params honors by keeping per-layer weights
+            return _stream_quantized_params(cfg, quantize, max_length)
         params = quantize_tree(full_model.init(jax.random.key(0), cfg))
         # a serving deployment stacks the decode weights ONCE, not per
         # batch — pre-stack here (freeing the per-layer copies) whenever
@@ -195,13 +200,17 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         from vlm_bridge_tpu.ops.attention import _use_pallas
 
         cache_rows = ((max_length + 1 + 63) // 64) * 64
-        if (kv_quant and (_use_pallas() or decode_kernels.INTERPRET)
+        if (prestack and kv_quant
+                and (_use_pallas() or decode_kernels.INTERPRET)
                 and cache_rows <= cfg.lm.sliding_window
                 and gemma2.supports_fused_decode(
                     params["lm"], cfg.lm, max_length + 1)):
             params["lm"]["stacked_decode"] = gemma2.stack_decode_params(
                 params["lm"], cfg.lm, free_layers=True)
             del params["lm"]["layers"]
+        return params
+
+    params = build_params(prestack=True)
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(
         rng.normal(0, 1, (batch_size, cfg.image_size, cfg.image_size, 3)),
@@ -209,9 +218,26 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
     gen = GenerationConfig(max_length=max_length, greedy=True,
                            bypass_bridge=bypass_bridge, kv_quant=kv_quant)
 
-    # warmup/compile (np.asarray = real completion fence on axon)
-    toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
-    np.asarray(toks)
+    # warmup/compile (np.asarray = real completion fence on axon). If the
+    # fused Pallas path fails to compile (Mosaic regressions are shape-
+    # dependent), fall back to the jnp int8 path so the bench still
+    # produces a number — and says so in the artifact.
+    fused_fallback = False
+    try:
+        toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
+        np.asarray(toks)
+    except Exception as e:
+        import os
+        import sys
+
+        print(f"[bench] fused decode path failed "
+              f"({type(e).__name__}: {str(e)[:400]}) — falling back to the "
+              f"jnp int8 path", file=sys.stderr)
+        fused_fallback = True
+        os.environ["VLM_BRIDGE_DEBUG_FORCE_JNP"] = "1"
+        params = build_params(prestack=False)
+        toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
+        np.asarray(toks)
 
     # latency: fence every rep — each batch pays the full dispatch+tunnel
     # round trip (what one caller sees for one batch)
@@ -244,6 +270,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         "decode_tokens_per_sec": batch_size * max_length / dt,
         "decode_batch_time_s": dt,
         "decode_batch_latency_s": lat,
+        "decode_fused_fallback": fused_fallback,
     }
 
 
