@@ -49,3 +49,37 @@ def test_decode_host_init_stream_path():
     assert out["metric"] == "decode_captions_per_sec_chip"
     assert out["value"] > 0
     assert out["decode_host_init"] is True
+
+
+def test_bench_decode_fused_fallback(monkeypatch):
+    """If the fused decode path throws at warmup (e.g. a shape-dependent
+    Mosaic compile failure), bench_decode must rebuild per-layer params,
+    force the jnp dispatch, and still return a number."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
+
+    from vlm_bridge_tpu.configs import VLMConfig
+    from vlm_bridge_tpu.inference import generate as gen_mod
+
+    real = gen_mod.generate_tokens
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated Mosaic compile failure")
+        return real(*a, **k)
+
+    monkeypatch.setattr(gen_mod, "generate_tokens", flaky)
+    try:
+        out = bench_mod.bench_decode(
+            VLMConfig.tiny_test(), batch_size=2, max_length=4, reps=1,
+            quantize="embedding,mlp,attn", kv_quant=True)
+    finally:
+        os.environ.pop("VLM_BRIDGE_DEBUG_FORCE_JNP", None)
+    assert out["decode_fused_fallback"] is True
+    assert out["decode_captions_per_sec"] > 0
+    assert calls["n"] >= 2
