@@ -44,12 +44,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vlm_bridge_tpu.ops.attention import _use_pallas
-
 # Tests flip this (or set VLM_BRIDGE_PALLAS_INTERPRET=1) to exercise the
 # kernels via the Pallas interpreter, e.g. to drive the fused decode path
 # in a CPU subprocess (tests/test_bench_cli.py host-init test).
-INTERPRET = bool(os.environ.get("VLM_BRIDGE_PALLAS_INTERPRET"))
+# "0"/"false"/"" disable (raw truthiness would turn =0 into ON).
+INTERPRET = os.environ.get(
+    "VLM_BRIDGE_PALLAS_INTERPRET", "").lower() not in ("", "0", "false")
 
 # Attention inner-product strategy (microbenched on v5e, scripts/attn_micro.py):
 #   "dots"  — per-(kv-head, group) batched dot_general: Mosaic lowers the
@@ -159,7 +159,10 @@ def _attn_kernel(
         vs_hist = vs_ref[kh]
 
         if ATTN_MODE == "dots2":
-            # all G query heads of this kv head in ONE batched dot pair
+            # all G query heads of this kv head in ONE batched dot pair.
+            # TWIN: _stack_kernel's _attention carries the same numerics
+            # (plus cache-window re-quantization) — softcap/mask changes
+            # must be applied to BOTH so the parity tests keep agreeing.
             qs = [_rope_pair(qkv[:, (kh * G + g) * D:(kh * G + g + 1) * D],
                              cos, sin) for g in range(G)]
             qg = jnp.concatenate([q[:, None, :] for q in qs], axis=1)  # [B,G,D] f32
@@ -474,6 +477,8 @@ def _stack_kernel(
             ks_hist = ks_ref[0, kh]
             vs_hist = vs_ref[0, kh]
 
+            # TWIN of _attn_kernel's dots2 body (see note there): keep the
+            # softcap/mask/softmax numerics bit-identical across both.
             qs = [_rope_pair(rd_q((kh * G + g) * D), cos, sin)
                   for g in range(G)]
             qg = jnp.concatenate([q[:, None, :] for q in qs], axis=1)
@@ -580,9 +585,13 @@ def _stack_kernel(
 
 def _pick_block(total: int, target: int, mult: int) -> int:
     """Largest divisor of `total` that is a multiple of `mult` and <=
-    max(target, mult)."""
-    target = max(target, mult)
-    for cand in range(min(target, total), mult - 1, -mult):
+    max(target, mult). The start is snapped DOWN to a multiple of `mult`
+    so every candidate is aligned even when the (possibly env-overridden)
+    target is not. Falls back to `total` when no aligned divisor exists —
+    callers treat that as "don't chunk"."""
+    start = min(max(target, mult), total)
+    start -= start % mult
+    for cand in range(start, mult - 1, -mult):
         if total % cand == 0:
             return cand
     return total
@@ -633,10 +642,7 @@ def fused_stack_step(
     D = head_dim
     G = num_heads // num_kv_heads
     block_f = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_F", block_f))
-    if F <= block_f:
-        block_f = F
-    else:
-        block_f = next((b for b in range(block_f, 0, -128) if F % b == 0), F)
+    block_f = _pick_block(F, block_f, 128)
     n_f = F // block_f
     block_proj = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_PROJ",
                                     block_proj))
@@ -797,10 +803,7 @@ def fused_mlp_step(
     d_w, d_s = down_q["w_int8"], down_q["scale"]
     H, F = g_w.shape
     M = x.shape[0]
-    if F <= block_f:
-        block_f = F
-    else:  # largest lane-aligned divisor of F within the target
-        block_f = next((b for b in range(block_f, 0, -128) if F % b == 0), F)
+    block_f = _pick_block(F, block_f, 128)
     nF = F // block_f
 
     kern = functools.partial(_mlp_kernel, n_inner=nF, eps=eps)
@@ -975,8 +978,13 @@ def _bridge_kernel(
         qkvh = (qkvh * qkvs_ref[0, 0, 0][None, :]
                 + qkvb_ref[0, 0, 0][None, :])
         qh = qkvh[:, :ds]
-        k_new = qkvh[:, ds:2 * ds]
-        v_new = qkvh[:, 2 * ds:]
+        # round the new K/V to the cache dtype BEFORE attending: the jnp
+        # oracle writes the bf16 cache first and attends the rounded
+        # values, so position t must see the same rounding here (kept in
+        # f32 carriers — Mosaic cannot shape-cast packed bf16 2D->3D, so
+        # the cache write expands in f32 and casts last)
+        k_new = qkvh[:, ds:2 * ds].astype(jnp.bfloat16).astype(jnp.float32)
+        v_new = qkvh[:, 2 * ds:].astype(jnp.bfloat16).astype(jnp.float32)
 
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
         hist_valid = (s_iota < t)
@@ -987,7 +995,8 @@ def _bridge_kernel(
             qh3, K, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * s_scale
         lg = jnp.where(hist_valid, lg, -1e30)
-        ls = (jnp.sum(qh * k_new, axis=-1, keepdims=True)
+        ls = (jnp.sum(qh3[:, 0, :].astype(jnp.float32) * k_new,
+                      axis=-1, keepdims=True)
               * s_scale)[:, None, :]
         m = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True), ls)
         e = jnp.where(hist_valid, jnp.exp(lg - m), 0.0)
@@ -1077,10 +1086,7 @@ def fused_bridge_step(
     Sv = ck.shape[3]
     S = sk.shape[3]
     F = bst["fc1"].shape[2]
-    if F <= block_f:
-        block_f = F
-    else:
-        block_f = next((f for f in range(block_f, 0, -128) if F % f == 0), F)
+    block_f = _pick_block(F, block_f, 128)
     n_f = F // block_f
     t_arr = jnp.reshape(t, (1,)).astype(jnp.int32)
 
