@@ -131,7 +131,7 @@ def _stream_quantized_params(cfg, quantize, max_length=None):
         del lp  # free this layer's bf16 before shipping the next
     import os
 
-    cache_rows = (((max_length + 1 + 63) // 64) * 64
+    cache_rows = (gemma2.fused_cache_rows(max_length + 1)
                   if max_length is not None else 64)
     if (set(("mlp", "attn")) <= set(lm_parts)
             and cache_rows <= cfg.lm.sliding_window
@@ -199,7 +199,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         from vlm_bridge_tpu.ops import decode_kernels
         from vlm_bridge_tpu.ops.attention import _use_pallas
 
-        cache_rows = ((max_length + 1 + 63) // 64) * 64
+        cache_rows = gemma2.fused_cache_rows(max_length + 1)
         if (prestack and kv_quant
                 and (_use_pallas() or decode_kernels.INTERPRET)
                 and cache_rows <= cfg.lm.sliding_window

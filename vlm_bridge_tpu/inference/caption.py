@@ -35,7 +35,7 @@ def collect_images(spec: str) -> List[Path]:
 
 def caption_images(
     params, cfg, tokenizer, image_paths: List[Path], *,
-    batch_size: int = 32, gen=None, activation_dtype=jnp.bfloat16,
+    batch_size: int = 32, gen=None, activation_dtype=None,
     rng=None, mesh=None,
 ) -> List[dict]:
     """Caption a list of image files; returns [{"image", "caption"}...]."""
@@ -49,6 +49,9 @@ def caption_images(
 
     if gen is None:
         gen = GenerationConfig(max_length=50, greedy=True, early_stop=True)
+    from vlm_bridge_tpu.inference.generate import resolve_activation_dtype
+
+    activation_dtype = resolve_activation_dtype(activation_dtype, gen)
     if rng is None:
         rng = jax.random.key(0)
 

@@ -29,7 +29,8 @@ import numpy as np
 from vlm_bridge_tpu.configs import VLMConfig
 from vlm_bridge_tpu.data.loader import BatchLoader, VLDataset
 from vlm_bridge_tpu.data.preprocess import normalize_on_device
-from vlm_bridge_tpu.inference.generate import GenerationConfig, generate_tokens
+from vlm_bridge_tpu.inference.generate import (
+    GenerationConfig, generate_tokens, resolve_activation_dtype)
 from vlm_bridge_tpu.inference.metrics import evaluate_captions
 from vlm_bridge_tpu.inference.robust import decode_captions
 
@@ -44,7 +45,7 @@ def evaluate_split(
     batch_size: int = 32,
     gen: GenerationConfig = GenerationConfig(max_length=50, greedy=True),
     max_samples: Optional[int] = None,
-    activation_dtype=jnp.bfloat16,
+    activation_dtype=None,  # None -> f32 for exact mode, bf16 otherwise
     rng: Optional[jax.Array] = None,
     verbose: bool = True,
     dump_samples: Optional[str | Path] = None,
@@ -57,6 +58,7 @@ def evaluate_split(
     """
     from vlm_bridge_tpu.data.preprocess import pad_to_batch
 
+    activation_dtype = resolve_activation_dtype(activation_dtype, gen)
     if rng is None:
         rng = jax.random.key(0)
     ds = VLDataset(data_dir, split)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from vlm_bridge_tpu.configs import BridgeConfig, VLMConfig
 from vlm_bridge_tpu.models import bridge, full_model, gemma2
+from vlm_bridge_tpu.models.bridge import _w  # shared int8-dict/cast helper
 from vlm_bridge_tpu.ops.attention import decode_attention, dot_product_attention
 from vlm_bridge_tpu.ops.layers import gelu_exact, layer_norm, linear
 from vlm_bridge_tpu.ops.sampling import sample_token
@@ -86,8 +87,15 @@ class BridgeCache(NamedTuple):
 
 
 def _build_cross_cache(bridge_params, cfg: BridgeConfig, vision, max_len,
-                       dtype, kv_quant: bool = False):
-    """Precompute cross-attention K/V from vision features for every block."""
+                       dtype, kv_quant: bool = False,
+                       fused_layout: bool = False):
+    """Precompute cross-attention K/V from vision features for every block.
+
+    fused_layout=True builds the whole-bridge kernel's head-major layouts
+    directly (cross [nb, Hc, B, S, Dc] + scales [nb, Hc, B, S]; self
+    caches [nb, Hs, B, S64, Ds] with the row count 64-rounded for the
+    in-place window write) instead of the jnp decode layout — so the
+    unused-layout zeros are never allocated."""
     B, S, _ = vision.shape
     Hc = cfg.num_heads_cross
     Dc = cfg.language_dim // Hc
@@ -107,9 +115,21 @@ def _build_cross_cache(bridge_params, cfg: BridgeConfig, vision, max_len,
 
         cross_k, ck_scale = quantize_kv(cross_k)
         cross_v, cv_scale = quantize_kv(cross_v)
+    if fused_layout:
+        from vlm_bridge_tpu.models.gemma2 import fused_cache_rows
+
+        S_self = fused_cache_rows(max_len)
+        cross_k = jnp.transpose(cross_k, (0, 3, 1, 2, 4))
+        cross_v = jnp.transpose(cross_v, (0, 3, 1, 2, 4))
+        if kv_quant:
+            ck_scale = jnp.transpose(ck_scale, (0, 3, 1, 2))
+            cv_scale = jnp.transpose(cv_scale, (0, 3, 1, 2))
+        self_shape = (cfg.num_blocks, Hs, B, S_self, Ds)
+    else:
+        self_shape = (cfg.num_blocks, B, max_len, Hs, Ds)
     return BridgeCache(
-        self_k=jnp.zeros((cfg.num_blocks, B, max_len, Hs, Ds), dtype),
-        self_v=jnp.zeros((cfg.num_blocks, B, max_len, Hs, Ds), dtype),
+        self_k=jnp.zeros(self_shape, dtype),
+        self_v=jnp.zeros(self_shape, dtype),
         cross_k=cross_k,
         cross_v=cross_v,
         cross_k_scale=ck_scale,
@@ -117,11 +137,21 @@ def _build_cross_cache(bridge_params, cfg: BridgeConfig, vision, max_len,
     )
 
 
-def _w(w, dtype):
-    """Weight for `linear`: int8-quantized dicts pass through (the kernel
-    dequantizes in-register); plain arrays are cast to the activation
-    dtype."""
-    return w if isinstance(w, dict) else w.astype(dtype)
+def resolve_activation_dtype(activation_dtype, gen: "GenerationConfig"):
+    """None -> bf16 for fast serving, f32 for exact (reference-parity)
+    mode: the exact decoder exists for token-for-token comparison against
+    the f32 reference, so it must not silently inherit the serving
+    default."""
+    if activation_dtype is not None:
+        return activation_dtype
+    return jnp.float32 if gen.exact else jnp.bfloat16
+
+
+def _eos_lengths(tokens: jax.Array, eos_id: int) -> jax.Array:
+    """Per-row caption length = index of the first EOS (or full length)."""
+    return jnp.sum(
+        jnp.cumsum((tokens == eos_id).astype(jnp.int32), axis=1) == 0,
+        axis=1)
 
 
 def _bridge_decode_step(
@@ -255,8 +285,8 @@ def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bo
         # pre-stacked weights (the 9B layer-streamed build): no extra copy
         # happens at generate time, so no free-memory check — only the
         # cache-capacity precondition applies
-        S = ((gen.max_length + 1 + 63) // 64) * 64
-        return S <= cfg.lm.sliding_window
+        return (gemma2.fused_cache_rows(gen.max_length + 1)
+                <= cfg.lm.sliding_window)
     if not gemma2.supports_fused_decode(
             params["lm"], cfg.lm, gen.max_length + 1):
         return False
@@ -264,15 +294,21 @@ def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bo
     # arrays; both live for the generate call, so the copy must fit the
     # chip's free HBM (gemma2_9b: ~8.4 GB of layers on a 16 GB chip ->
     # stacking OOMs; it stays on the jnp decode path).
+    leaf = jax.tree.leaves(params["lm"]["layers"])[0]
     try:
-        leaf = jax.tree.leaves(params["lm"]["layers"])[0]
         stats = next(iter(leaf.devices())).memory_stats() or {}
-        free = stats["bytes_limit"] - stats["bytes_in_use"]
     except Exception:
-        return True  # CPU/interpret or no stats: stacking is safe
+        stats = {}
+    limit, in_use = stats.get("bytes_limit"), stats.get("bytes_in_use")
+    if limit is None or in_use is None:
+        # no usable stats: the CPU/interpret backends run tiny models, so
+        # stacking is safe there; on a real accelerator refuse to gamble
+        # an OOM (the jnp path still serves — per-layer weights exist in
+        # this branch)
+        return jax.default_backend() not in ("tpu", "axon")
     stacked_bytes = sum(
         x.nbytes for x in jax.tree.leaves(params["lm"]["layers"]))
-    return stacked_bytes * 1.05 < free
+    return stacked_bytes * 1.05 < limit - in_use
 
 
 @functools.partial(
@@ -300,29 +336,16 @@ def _generate_fast(
         return p.astype(activation_dtype)
 
     params = {**params, "bridge": jax.tree.map(_cast_leaf, params["bridge"])}
+    # fused layout: head-major caches for the whole-bridge kernel — Mosaic
+    # cannot lane-slice at the 288-wide cross heads, so per-(block, head)
+    # tiles are delivered by BlockSpec index maps instead; the self cache
+    # rows are 64-rounded for the in-place window write (see
+    # ops/decode_kernels.fused_bridge_step)
     bridge_cache = _build_cross_cache(
         params["bridge"], br_cfg, vision, L, activation_dtype,
-        kv_quant=gen.kv_quant)
+        kv_quant=gen.kv_quant, fused_layout=use_fused_bridge)
     if use_fused_bridge:
-        # head-major cache layouts for the whole-bridge kernel: Mosaic
-        # cannot lane-slice at the 288-wide cross heads, so per-(block,
-        # head) tiles are delivered by BlockSpec index maps instead; the
-        # self cache is rounded to a multiple of 8 rows for the in-place
-        # window write (see ops/decode_kernels.fused_bridge_step)
-        nb, Hs = br_cfg.num_blocks, br_cfg.num_heads_self
-        S8 = ((L + 63) // 64) * 64
-        Ds = br_cfg.language_dim // Hs
         bstacked = bridge.stack_bridge_decode_params(params["bridge"], br_cfg)
-        bridge_cache = bridge_cache._replace(
-            cross_k=jnp.transpose(bridge_cache.cross_k, (0, 3, 1, 2, 4)),
-            cross_v=jnp.transpose(bridge_cache.cross_v, (0, 3, 1, 2, 4)),
-            cross_k_scale=jnp.transpose(
-                bridge_cache.cross_k_scale, (0, 3, 1, 2)),
-            cross_v_scale=jnp.transpose(
-                bridge_cache.cross_v_scale, (0, 3, 1, 2)),
-            self_k=jnp.zeros((nb, Hs, B, S8, Ds), activation_dtype),
-            self_v=jnp.zeros((nb, Hs, B, S8, Ds), activation_dtype),
-        )
     # fully-int8 LMs decode through the whole-stack pipelined Pallas kernel
     # (ONE launch for all layers per token; per-layer fused kernels
     # measured 0.89x of XLA because each kernel serialized its own weight
@@ -397,18 +420,13 @@ def _generate_fast(
             buf = jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, t))
             return t + 1, carry, buf
 
-        _, (_, done, _, _), toks = jax.lax.while_loop(
+        _, _, toks = jax.lax.while_loop(
             cond, body, (jnp.zeros((), jnp.int32), init, toks_buf))
     else:
-        (_, done, _, _), toks = jax.lax.scan(
-            step, init, jnp.arange(gen.max_length))
+        _, toks = jax.lax.scan(step, init, jnp.arange(gen.max_length))
         toks = jnp.moveaxis(toks, 0, 1)  # [B, max_length]
     tokens = jnp.concatenate([bos[:, None], toks], axis=1)
-    lengths = jnp.sum(
-        jnp.cumsum(
-            (tokens == lm_cfg.eos_token_id).astype(jnp.int32), axis=1) == 0,
-        axis=1)
-    return tokens, lengths
+    return tokens, _eos_lengths(tokens, lm_cfg.eos_token_id)
 
 
 # ---------------------------------------------------------------------------
@@ -473,13 +491,9 @@ def _generate_exact(
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
         return tokens, done
 
-    tokens, done = jax.lax.fori_loop(
+    tokens, _ = jax.lax.fori_loop(
         1, L, step, (tokens0, jnp.zeros((B,), bool)))
-    lengths = jnp.sum(
-        jnp.cumsum(
-            (tokens == lm_cfg.eos_token_id).astype(jnp.int32), axis=1) == 0,
-        axis=1)
-    return tokens, lengths
+    return tokens, _eos_lengths(tokens, lm_cfg.eos_token_id)
 
 
 def generate_tokens(
@@ -490,7 +504,7 @@ def generate_tokens(
     vision_features: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
     gen: GenerationConfig = GenerationConfig(),
-    activation_dtype=jnp.bfloat16,
+    activation_dtype=None,
     mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Generate caption tokens.
@@ -504,6 +518,7 @@ def generate_tokens(
     over the mesh (incl. a tensor-parallel LM when params are sharded over
     "model"). None = whatever sharding the inputs already carry.
     """
+    activation_dtype = resolve_activation_dtype(activation_dtype, gen)
     if rng is None:
         rng = jax.random.key(0)
     if mesh is not None:
@@ -530,7 +545,7 @@ def generate_tokens(
         # layer-streamed builds (bench._stream_quantized_params) free the
         # per-layer weights after stacking; every non-fused path would
         # otherwise KeyError deep inside decode_step
-        S = ((gen.max_length + 1 + 63) // 64) * 64
+        S = gemma2.fused_cache_rows(gen.max_length + 1)
         raise ValueError(
             "params['lm'] carries only pre-stacked decode weights "
             "(stacked_decode), which serve only the fused Pallas decode "

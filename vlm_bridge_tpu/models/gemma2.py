@@ -65,6 +65,17 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
 
+def fused_cache_rows(n_tokens: int) -> int:
+    """KV-cache rows the fused decode kernels allocate for n_tokens: the
+    kernels tile the cache in 64-row blocks (int8 sublane tile = 32; 64
+    keeps bf16 happy too). Dispatch requires this ROUNDED capacity to fit
+    every sliding window, because window masking is not implemented
+    in-kernel — every capacity/dispatch check must use this one helper so
+    they can never desynchronize (a dispatch looser than the allocation
+    would silently attend beyond the window)."""
+    return ((n_tokens + 63) // 64) * 64
+
+
 class FusedKVCache(NamedTuple):
     """Per-layer int8 decode caches for the FUSED kernel path.
 
@@ -83,7 +94,7 @@ class FusedKVCache(NamedTuple):
 
     @staticmethod
     def zeros(cfg: Gemma2Config, batch: int, max_len: int) -> "FusedKVCache":
-        S = ((max_len + 63) // 64) * 64  # int8 sublane tile = 32; keep 64
+        S = fused_cache_rows(max_len)
         KHD = cfg.num_kv_heads * cfg.head_dim
         L = cfg.num_layers
         return FusedKVCache(
@@ -101,7 +112,7 @@ def supports_fused_decode(params: dict, cfg: Gemma2Config,
     """The fused path needs fully int8 layers (fused qkv + o + mlp dicts)
     and caption-scale sequences (cache capacity within every sliding
     window, so window masking never binds)."""
-    S = ((max_len + 63) // 64) * 64
+    S = fused_cache_rows(max_len)
     if S > cfg.sliding_window:
         return False
     for lp in params["layers"].values():
@@ -182,7 +193,7 @@ class StackedKVCache(NamedTuple):
 
     @staticmethod
     def zeros(cfg: Gemma2Config, batch: int, max_len: int) -> "StackedKVCache":
-        S = ((max_len + 63) // 64) * 64
+        S = fused_cache_rows(max_len)
         KHD = cfg.num_kv_heads * cfg.head_dim
         L = cfg.num_layers
         return StackedKVCache(
