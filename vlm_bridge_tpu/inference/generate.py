@@ -61,6 +61,11 @@ class GenerationConfig:
                                   # HBM — the long-context / gemma2_9b lever;
                                   # at caption lengths it is quality-neutral
                                   # but not faster
+    force_jnp: bool = False       # pin the jnp decode path (skip the fused
+                                  # Pallas kernels) for A/B runs and bench
+                                  # fallback — the explicit equivalent of
+                                  # VLM_BRIDGE_DEBUG_FORCE_JNP without
+                                  # mutating process state
 
 
 # ---------------------------------------------------------------------------
@@ -262,21 +267,31 @@ def _bridge_decode_step_fused(
 # ---------------------------------------------------------------------------
 
 
+# Memory-gate decisions cached per params identity: the free-HBM check reads
+# live memory_stats(), so without a cache two identical generate_tokens calls
+# could silently pick DIFFERENT numeric paths run-to-run (different
+# accumulation order -> different tokens) and trigger a recompile (use_fused
+# is a static jit arg). Keyed by id() of the first layer leaf with a weakref
+# guard against id reuse after garbage collection.
+_memgate_cache: dict = {}
+
+
 def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bool:
     """Dispatch predicate for the fused Pallas decode (computed OUTSIDE the
-    jit so it lands in the cache key). VLM_BRIDGE_DEBUG_FORCE_JNP=1 forces
-    the jnp path for A/B and tests."""
+    jit so it lands in the cache key). gen.force_jnp — or the
+    VLM_BRIDGE_DEBUG_FORCE_JNP=1 env var — forces the jnp path for A/B and
+    tests."""
     import os
 
     from vlm_bridge_tpu.ops import decode_kernels as _dk
     from vlm_bridge_tpu.ops.attention import _use_pallas as _pallas_on
 
-    if os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP"):
+    if gen.force_jnp or os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP"):
         if "layers" not in params["lm"]:
             raise ValueError(
-                "VLM_BRIDGE_DEBUG_FORCE_JNP is set but params carry only "
-                "pre-stacked decode weights (stacked_decode) — the jnp "
-                "path needs per-layer weights")
+                "force_jnp requested but params carry only pre-stacked "
+                "decode weights (stacked_decode) — the jnp path needs "
+                "per-layer weights")
         return False
     if not (gen.kv_quant and not gen.exact
             and (_pallas_on() or _dk.INTERPRET)):
@@ -295,6 +310,9 @@ def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bo
     # chip's free HBM (gemma2_9b: ~8.4 GB of layers on a 16 GB chip ->
     # stacking OOMs; it stays on the jnp decode path).
     leaf = jax.tree.leaves(params["lm"]["layers"])[0]
+    cached = _memgate_cache.get(id(leaf))
+    if cached is not None and cached[0]() is leaf:
+        return cached[1]
     try:
         stats = next(iter(leaf.devices())).memory_stats() or {}
     except Exception:
@@ -305,10 +323,32 @@ def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bo
         # stacking is safe there; on a real accelerator refuse to gamble
         # an OOM (the jnp path still serves — per-layer weights exist in
         # this branch)
-        return jax.default_backend() not in ("tpu", "axon")
-    stacked_bytes = sum(
-        x.nbytes for x in jax.tree.leaves(params["lm"]["layers"]))
-    return stacked_bytes * 1.05 < limit - in_use
+        ok = jax.default_backend() not in ("tpu", "axon")
+    else:
+        stacked_bytes = sum(
+            x.nbytes for x in jax.tree.leaves(params["lm"]["layers"]))
+        ok = stacked_bytes * 1.05 < limit - in_use
+        _log_dispatch(
+            f"fused decode {'ON' if ok else 'OFF (jnp path)'} for this "
+            f"params object: stacking needs {stacked_bytes / 2**20:.0f} MiB, "
+            f"free HBM {(limit - in_use) / 2**20:.0f} MiB — decision cached "
+            f"for repeat calls")
+    if len(_memgate_cache) > 64:  # drop entries whose leaf was collected
+        for k in [k for k, (r, _) in _memgate_cache.items() if r() is None]:
+            del _memgate_cache[k]
+    try:
+        import weakref
+
+        _memgate_cache[id(leaf)] = (weakref.ref(leaf), ok)
+    except TypeError:
+        pass  # leaf type not weakref-able: fall back to uncached behavior
+    return ok
+
+
+def _log_dispatch(msg: str) -> None:
+    import logging
+
+    logging.getLogger(__name__).info("[generate] %s", msg)
 
 
 @functools.partial(

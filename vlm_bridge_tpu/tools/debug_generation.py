@@ -56,7 +56,9 @@ class StepTrace:
     embed_norm: float           # bridged-embedding L2 norm at position t-1
     hidden_norm: float          # final-hidden L2 norm at position t-1
     topp_tail_mass: float = 0.0  # nucleus mass the topk_window would drop
-                                 # at the sweep's T=0.7/p=0.9 settings
+                                 # at this trace's T/p settings (greedy
+                                 # traces fall back to the sweep defaults
+                                 # T=0.7/p=0.9)
 
 
 @dataclass
@@ -93,6 +95,9 @@ def _debug_step(
     """One exact-mode decode step + on-device stats. tokens: [B, L]; t traced."""
     B = tokens.shape[0]
     lm_cfg = cfg.lm
+    sampling_trace = not greedy and temperature > 0.0
+    tail_t = temperature if sampling_trace else 0.7
+    tail_p = top_p if sampling_trace else 0.9
     mask = jnp.broadcast_to(
         (jnp.arange(L)[None, :] < t).astype(jnp.int32), (B, L))
     if bypass_bridge:
@@ -129,11 +134,13 @@ def _debug_step(
             last_h.astype(jnp.float32), axis=-1)[:, 0],
         "top5_ids": top5_ids,
         "top5_probs": top5_probs,
-        # measured at the production sweep settings (T=0.7, p=0.9) even on
-        # greedy traces: the debugger's job is to warn BEFORE someone runs
-        # the windowed sampler on a distribution whose nucleus it clips
+        # measured at THIS trace's sampling settings so the clipping warning
+        # matches what the windowed sampler would actually do; greedy traces
+        # (which never sample) fall back to the production sweep defaults
+        # (T=0.7, p=0.9) so the warning still fires before someone runs the
+        # sampler on a distribution whose nucleus the window clips
         "topp_tail_mass": sampling.topp_window_tail_mass(
-            logits, temperature=0.7, top_p=0.9),
+            logits, temperature=tail_t, top_p=tail_p),
     }
     nxt = sample_token(
         jax.random.fold_in(rng, t), logits,
@@ -208,13 +215,20 @@ class GenerationDebugger:
         ids = [int(x) for x in np.asarray(tokens[0])][: len(report.steps) + 1]
         report.tokens = ids
         report.caption = self.tokenizer.decode(ids)
-        report.issues = self._detect_issues(report.steps, report.caption)
+        sampling_trace = not greedy and temperature > 0.0
+        report.issues = self._detect_issues(
+            report.steps, report.caption,
+            tail_t=temperature if sampling_trace else 0.7,
+            tail_p=top_p if sampling_trace else 0.9,
+            tail_defaulted=not sampling_trace)
         return report
 
     # -- issue detection (reference debug_generation.py:180-235) ----------
 
     @staticmethod
-    def _detect_issues(steps: List[StepTrace], caption: str) -> List[str]:
+    def _detect_issues(steps: List[StepTrace], caption: str,
+                       tail_t: float = 0.7, tail_p: float = 0.9,
+                       tail_defaulted: bool = True) -> List[str]:
         issues: List[str] = []
         for s in steps:
             if s.nan_count:
@@ -229,8 +243,9 @@ class GenerationDebugger:
             worst = max(s.topp_tail_mass for s in clipped)
             issues.append(
                 f"topk_window clips the top-p nucleus on {len(clipped)} "
-                f"step(s) (worst: {worst:.2f} of p=0.9 unreachable) — "
-                f"use exact_topp for faithful sampling")
+                f"step(s) (worst: {worst:.2f} of p={tail_p:g} unreachable "
+                f"at T={tail_t:g}{' — sweep defaults; greedy trace' if tail_defaulted else ''}) "
+                f"— use exact_topp for faithful sampling")
         toks = [s.token for s in steps]
         for n in (1, 2, 3):
             if len(toks) >= 4 * n and len(set(toks[-4 * n:])) <= n:

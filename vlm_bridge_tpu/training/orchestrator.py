@@ -210,12 +210,13 @@ def run_training_epoch(ctx: TrainingContext, epoch: int) -> float:
     summary = prof.summary()
     steady = (1000.0 * tc.batch_size / summary["step_ms_mean"]
               if "step_ms_mean" in summary else None)
-    # the headline tag users graph gets the steady-state rate when one is
-    # measurable — epoch 0's wall-clock rate is dominated by the jit compile
-    # (3.1 vs 38.2 samples/s on v5e) and misleads exactly once, at the top
-    # of every training curve. The raw wall-clock rate keeps its own tag.
-    ctx.writer.add_scalar("epoch/samples_per_sec", steady or sps, epoch)
-    ctx.writer.add_scalar("epoch/samples_per_sec_wall", sps, epoch)
+    # epoch/samples_per_sec keeps its historical wall-clock meaning (so runs
+    # graphed before/after this version line up); the steady-state rate —
+    # which excludes epoch 0's jit compile (3.1 vs 38.2 samples/s on v5e) —
+    # gets its own tag for users who want the representative number.
+    ctx.writer.add_scalar("epoch/samples_per_sec", sps, epoch)
+    if steady is not None:
+        ctx.writer.add_scalar("epoch/samples_per_sec_steady", steady, epoch)
     for k, v in summary.items():
         ctx.writer.add_scalar(f"perf/{k}", v, epoch)
     if steady is not None:
