@@ -180,6 +180,32 @@ def test_text_mask_blocks_pad_influence(cfg):
         np.asarray(out1[:, :4]), np.asarray(out2[:, :4]), atol=1e-5)
 
 
+def test_causal_bridge_blocks_future_influence(cfg):
+    """With causal=True, position t's output must be independent of every
+    position > t (the reference's non-causal bridge leaks the next token
+    into training position t — see bridge.forward docstring); and the
+    causal output must differ from the non-causal one (the mask is live)."""
+    params = bridge.init(jax.random.key(4), cfg)
+    B, T, S = 1, 6, 4
+    rng = np.random.default_rng(5)
+    text = rng.normal(0, 0.3, (B, T, cfg.language_dim)).astype(np.float32)
+    vision = rng.normal(0, 0.3, (B, S, cfg.vision_dim)).astype(np.float32)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    out1 = bridge.forward(params, cfg, jnp.asarray(text), jnp.asarray(vision),
+                          text_mask=mask, causal=True)
+    text2 = text.copy()
+    text2[0, 3:] = 7.0  # perturb the future
+    out2 = bridge.forward(params, cfg, jnp.asarray(text2), jnp.asarray(vision),
+                          text_mask=mask, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out1[:, :3]), np.asarray(out2[:, :3]), atol=1e-5)
+
+    noncausal = bridge.forward(
+        params, cfg, jnp.asarray(text), jnp.asarray(vision), text_mask=mask)
+    assert not np.allclose(np.asarray(out1), np.asarray(noncausal))
+
+
 def test_debug_forward_stats(cfg):
     import jax
     import jax.numpy as jnp

@@ -89,6 +89,28 @@ def test_fast_mode_contract(setup):
     np.testing.assert_array_equal(toks[:, 1], np.asarray(toks_exact)[:, 1])
 
 
+def test_fast_mode_is_exact_for_causal_bridge(setup):
+    """With the causal bridge (GenerationConfig.bridge_causal /
+    TrainingConfig.bridge_causal) the KV-cached fast decode is not an
+    approximation: it must reproduce the full-reforward causal decode
+    token-for-token at EVERY position, not just the first. This is the
+    contract that makes the round-4 memorization proof transfer from
+    teacher-forced training to serving (tools/memorize.py)."""
+    cfg, params, vision = setup
+    N = 8
+    fast, fast_len = generate_tokens(
+        params, cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=N, greedy=True),
+        activation_dtype=jnp.float32)
+    exact, exact_len = generate_tokens(
+        params, cfg, vision_features=vision,
+        gen=GenerationConfig(max_length=N, greedy=True, exact=True,
+                             bridge_causal=True),
+        activation_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(exact))
+    np.testing.assert_array_equal(np.asarray(fast_len), np.asarray(exact_len))
+
+
 def test_sampling_reproducible_and_temperature_varies(setup):
     cfg, params, vision = setup
     g = GenerationConfig(max_length=6, temperature=0.9, top_p=0.9)

@@ -248,6 +248,9 @@ class TrainingConfig:
     max_text_len: int = 512                      # hard truncation, matches reference
     pad_to_buckets: Tuple[int, ...] = (64, 128, 256, 512)  # static-shape buckets
     mask_pad_loss: bool = True                   # fix of reference bug (pads in loss)
+    bridge_causal: bool = False                  # causal bridge self-attn: removes the
+                                                 # reference's next-token leak + its
+                                                 # train/serve mismatch (bridge.forward)
     remat_lm: bool = True                        # rematerialize frozen LM layers
     seed: int = 0
     model_preset: str = "default"                # default | tiny_test

@@ -82,6 +82,7 @@ def batch_encode(
     texts: Sequence[str],
     max_length: int,
     buckets: Sequence[int] = (),
+    append_eos: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize + pad to a fixed-shape bucket.
 
@@ -89,8 +90,21 @@ def batch_encode(
     batches are padded to the smallest bucket >= the batch max length so jit
     sees a handful of static shapes instead of recompiling per batch.
     Returns (input_ids [B, L], attn_mask [B, L]) int32.
+
+    append_eos=True puts EOS INSIDE the attention/loss mask. The reference
+    never appends EOS; its stop-token signal came entirely from the pad=eos
+    convention plus the pad-in-loss bug (reference data_loader.py:76-77 +
+    core_training_loop.py:52-55) — every trailing pad position trained the
+    model to emit EOS. With that bug fixed (shift_labels mask_pad=True),
+    an explicit in-mask EOS is the intended version of the same signal;
+    without it the model cannot learn to terminate captions at all.
+    Truncated-at-max_length captions keep no EOS (standard practice).
     """
     encoded = [tokenizer.encode(t, max_length=max_length) for t in texts]
+    if append_eos:
+        encoded = [
+            e + [tokenizer.eos_token_id] if len(e) < max_length else e
+            for e in encoded]
     longest = max(len(e) for e in encoded)
     L = max_length
     for b in sorted(buckets):

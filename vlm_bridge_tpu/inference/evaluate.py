@@ -151,6 +151,15 @@ def main(argv=None) -> int:
     ap.add_argument("--output", default=None, help="write result JSON here")
     ap.add_argument("--dump-samples", default=None,
                     help="write every (generated, reference) pair as JSONL")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV caches — with --quantize this is the "
+                         "fused-Pallas serving recipe bench.py measures")
+    ap.add_argument("--early-stop", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="while_loop decode that exits when all rows hit "
+                         "EOS (default: on unless --exact). --no-early-stop "
+                         "matches bench.py's fixed-length scan for "
+                         "like-for-like throughput comparison")
     from vlm_bridge_tpu.tools.loading import (
         add_model_args, apply_platform, load_from_args, mesh_from_args)
 
@@ -161,10 +170,13 @@ def main(argv=None) -> int:
     cfg, params, tokenizer = load_from_args(args)
     mesh, params = mesh_from_args(args, params)
 
+    early_stop = (not args.exact if args.early_stop is None
+                  else args.early_stop and not args.exact)
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
         temperature=args.temperature, top_p=args.top_p,
-        exact=args.exact, early_stop=not args.exact)
+        exact=args.exact, early_stop=early_stop,
+        kv_quant=args.kv_int8)
     result = evaluate_split(
         params, cfg, args.data_dir, tokenizer=tokenizer,
         split=args.split, batch_size=args.batch_size, gen=gen,

@@ -66,6 +66,12 @@ class GenerationConfig:
                                   # fallback — the explicit equivalent of
                                   # VLM_BRIDGE_DEBUG_FORCE_JNP without
                                   # mutating process state
+    bridge_causal: bool = False   # exact mode only: causal-mask the bridge
+                                  # self-attention so exact decode matches a
+                                  # model TRAINED with
+                                  # TrainingConfig.bridge_causal. The fast
+                                  # cached path is inherently causal and
+                                  # ignores this.
 
 
 # ---------------------------------------------------------------------------
@@ -515,7 +521,8 @@ def _generate_exact(
             bridged = gemma2.embed(params["lm"], tokens)
         else:
             bridged = full_model.bridge_text(
-                params, cfg, tokens, vision, attn_mask=mask, bridge_pad_mask=True)
+                params, cfg, tokens, vision, attn_mask=mask,
+                bridge_pad_mask=True, bridge_causal=gen.bridge_causal)
         hidden = gemma2.forward_hidden(
             params["lm"], lm_cfg, bridged.astype(activation_dtype),
             attn_mask=mask, remat=False)

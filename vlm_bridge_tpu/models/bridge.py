@@ -219,7 +219,8 @@ def _w(w, dtype):
     return w if isinstance(w, dict) else w.astype(dtype)
 
 
-def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None):
+def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None,
+         is_causal: bool = False):
     """Shared projection + attention core for cross/self attention.
 
     Accepts int8-quantized projections (models/bridge.quantize_decode_params),
@@ -227,7 +228,9 @@ def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None):
 
     key_mask: optional [B, S] (1 = attendable key). It is a right-padding
     prefix mask by loader contract, so the per-row lengths are forwarded to
-    qualify padded shapes for the flash kernel."""
+    qualify padded shapes for the flash kernel.
+    is_causal: causal masking for the self-attention (the opt-in causal
+    bridge; see forward's `causal`)."""
     B, T, _ = q_in.shape
     S = kv_in.shape[1]
     if "qkv" in proj:  # fused self-attention weights (q_in is kv_in)
@@ -251,7 +254,7 @@ def _mha(proj: dict, q_in, kv_in, num_heads: int, dtype, key_mask=None):
         mask = key_mask[:, None, :].astype(bool)
         kv_lengths = key_mask.sum(axis=-1).astype(jnp.int32)
     out = dot_product_attention(q, k, v, scale=D ** -0.5, mask=mask,
-                                kv_lengths=kv_lengths)
+                                is_causal=is_causal, kv_lengths=kv_lengths)
     out = out.reshape(B, T, d_model)
     return linear(out, _w(proj["o"], dtype), proj["o_bias"].astype(dtype))
 
@@ -265,6 +268,7 @@ def forward(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     text_mask: Optional[jax.Array] = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Enhanced text embeddings [B, T, language_dim].
 
@@ -272,6 +276,15 @@ def forward(
     text_mask: optional [B, T] pad mask applied to self-attention KEYS — a fix
     over the reference (which lets pads leak into self-attention under dynamic
     padding); pass None to reproduce reference numerics exactly.
+    causal: causal-mask the text self-attention. The reference trains the
+    bridge NON-causally (bridge_module.py:355 — no mask) yet serves it
+    autoregressively, which (a) leaks each next token into training position
+    t via self-attention (teacher-forced loss is optimistic) and (b) makes
+    cached incremental decode an approximation of the trained function.
+    causal=True (TrainingConfig.bridge_causal) removes both: the trained
+    conditional is exactly what the fast KV-cached decode computes, so a
+    converged model's captions reproduce under greedy decode token-for-token
+    (see tests/test_memorization.py). Default False = reference parity.
     """
     dtype = text_embeddings.dtype
     x = text_embeddings
@@ -290,7 +303,8 @@ def forward(
         x = x + _dropout(h, cfg.dropout, rngs[2], train)
 
         h = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"], eps)
-        h = _mha(bp["self"], h, h, cfg.num_heads_self, dtype, key_mask=text_mask)
+        h = _mha(bp["self"], h, h, cfg.num_heads_self, dtype,
+                 key_mask=text_mask, is_causal=causal)
         x = x + _dropout(h, cfg.dropout, rngs[3], train)
 
         h = layer_norm(x, bp["ln_ffn"]["scale"], bp["ln_ffn"]["bias"], eps)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from vlm_bridge_tpu.configs import DinoV2Config
-from vlm_bridge_tpu.ops.attention import dot_product_attention
+from vlm_bridge_tpu.ops.attention import _use_pallas, dot_product_attention
 from vlm_bridge_tpu.ops.layers import gelu_exact, layer_norm, linear
 
 
@@ -112,6 +112,27 @@ def interpolate_pos_embed(pos_embed: jax.Array, cfg: DinoV2Config, grid: int) ->
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
+def _proj(x: jax.Array, w, b, *, gelu: bool = False) -> jax.Array:
+    """Encoder projection: [B, T, K] @ [K, N] (+ bias) (+ exact GELU).
+
+    Routes through ops.matmul_kernels.tiled_matmul when VLM_BRIDGE_VIT_MM=
+    pallas (measured-dispatch: XLA tiles the encoder's N=1024 projections
+    at ~39 TFLOP/s vs ~120 achievable — see that module's docstring);
+    otherwise the plain XLA path, identical numerics up to dot tiling.
+    """
+    from vlm_bridge_tpu.ops import matmul_kernels as mk
+
+    if (mk.vit_mm_mode() == "pallas" and not isinstance(w, dict)
+            and x.ndim == 3 and (_use_pallas() or mk.INTERPRET)):
+        B, T, K = x.shape
+        y = mk.tiled_matmul(
+            x.reshape(B * T, K), w.astype(x.dtype), b.astype(jnp.float32),
+            gelu=gelu)
+        return y.reshape(B, T, -1)
+    y = linear(x, w, b)
+    return gelu_exact(y) if gelu else y
+
+
 def _mlp(mp: dict, x: jax.Array) -> jax.Array:
     """GELU MLP (base/large) or SwiGLU FFN (giant; HF Dinov2SwiGLUFFN:
     weights_in -> chunk2 -> silu(x1)*x2 -> weights_out)."""
@@ -119,20 +140,19 @@ def _mlp(mp: dict, x: jax.Array) -> jax.Array:
         h = linear(x, mp["win"], mp["win_bias"])
         x1, x2 = jnp.split(h, 2, axis=-1)
         return linear(jax.nn.silu(x1) * x2, mp["wout"], mp["wout_bias"])
-    h = linear(x, mp["fc1"], mp["fc1_bias"])
-    h = gelu_exact(h)
-    return linear(h, mp["fc2"], mp["fc2_bias"])
+    h = _proj(x, mp["fc1"], mp["fc1_bias"], gelu=True)
+    return _proj(h, mp["fc2"], mp["fc2_bias"])
 
 
 def _attention(lp: dict, cfg: DinoV2Config, x: jax.Array) -> jax.Array:
     B, T, h = x.shape
     H, D = cfg.num_heads, cfg.head_dim
-    qkv = linear(x, lp["attn"]["qkv"], lp["attn"]["qkv_bias"])  # [B, T, 3h]
+    qkv = _proj(x, lp["attn"]["qkv"], lp["attn"]["qkv_bias"])  # [B, T, 3h]
     q, k, v = (qkv[..., :h].reshape(B, T, H, D),
                qkv[..., h:2 * h].reshape(B, T, H, D),
                qkv[..., 2 * h:].reshape(B, T, H, D))
     out = dot_product_attention(q, k, v, scale=D ** -0.5)
-    return linear(out.reshape(B, T, h), lp["attn"]["o"], lp["attn"]["o_bias"])
+    return _proj(out.reshape(B, T, h), lp["attn"]["o"], lp["attn"]["o_bias"])
 
 
 def forward(

@@ -76,14 +76,18 @@ def bridge_text(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     bridge_pad_mask: bool = True,
+    bridge_causal: bool = False,
 ) -> jax.Array:
-    """Embed text and run the bridge. Returns bridged embeddings [B, T, h]."""
+    """Embed text and run the bridge. Returns bridged embeddings [B, T, h].
+
+    bridge_causal: causal-mask the bridge self-attention (see
+    bridge.forward's `causal`); default False matches the reference."""
     embeds = gemma2_mod.embed(params["lm"], input_ids)
     embeds = jax.lax.stop_gradient(embeds)
     text_mask = attn_mask if (bridge_pad_mask and attn_mask is not None) else None
     return bridge_mod.forward(
         params["bridge"], cfg.bridge, embeds, vision_features,
-        rng=rng, train=train, text_mask=text_mask,
+        rng=rng, train=train, text_mask=text_mask, causal=bridge_causal,
     )
 
 
@@ -99,6 +103,7 @@ def forward(
     train: bool = False,
     mask_pad_loss: bool = True,
     bridge_pad_mask: bool = True,
+    bridge_causal: bool = False,
     remat_lm: bool = True,
     loss_chunk: int = 128,
     loss_remat: bool = True,
@@ -113,6 +118,7 @@ def forward(
     bridged = bridge_text(
         params, cfg, input_ids, vision, attn_mask=attn_mask,
         rng=rng, train=train, bridge_pad_mask=bridge_pad_mask,
+        bridge_causal=bridge_causal,
     )
     hidden = gemma2_mod.forward_hidden(
         params["lm"], cfg.lm, bridged, attn_mask=attn_mask, remat=remat_lm,

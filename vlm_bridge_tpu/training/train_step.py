@@ -124,6 +124,7 @@ def make_train_step(
                 params, cfg, pixels, input_ids, attn_mask,
                 labels=labels, rng=rng, train=True,
                 mask_pad_loss=tc.mask_pad_loss,
+                bridge_causal=tc.bridge_causal,
                 remat_lm=tc.remat_lm, loss_chunk=tc.loss_chunk_size,
                 loss_remat=tc.loss_remat,
             )
@@ -164,8 +165,8 @@ def make_eval_step(cfg: VLMConfig, tc: TrainingConfig, *, activation_dtype=jnp.b
             lambda p: p.astype(activation_dtype), bridge_params)}
         loss, aux = full_model.forward(
             params, cfg, pixels, input_ids, attn_mask, labels=labels,
-            mask_pad_loss=tc.mask_pad_loss, remat_lm=False,
-            loss_chunk=tc.loss_chunk_size,
+            mask_pad_loss=tc.mask_pad_loss, bridge_causal=tc.bridge_causal,
+            remat_lm=False, loss_chunk=tc.loss_chunk_size,
         )
         seq_lens = attn_mask.sum(axis=1)
         return {
