@@ -85,6 +85,12 @@ def test_evaluate_split_end_to_end(tmp_path):
     assert result["captions_per_sec"] > 0
     assert 0.0 <= result["metrics"]["bleu4"] <= 1.0
     assert len(result["samples"]) == 8
+    # candidate<->reference pairing must survive the one-batch-deep host
+    # pipeline: references come back in dataset order (loader unshuffled)
+    from vlm_bridge_tpu.data.loader import VLDataset
+    ds = VLDataset(tmp_path, "train")
+    assert [ref for _, ref in result["samples"]] == \
+        [ds.caption(i) for i in range(8)]
 
 
 def test_evaluate_split_max_samples(tmp_path):
