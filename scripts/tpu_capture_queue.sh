@@ -11,6 +11,7 @@
 #   3. encoder projection micro A/B (XLA vs Pallas tiled matmul)
 #   4. full-encode A/B at the best blocks from (3) — edit BLOCKS below
 #   5. end-to-end vlm-eval on a synthetic test split, serving recipe
+#   6. early-stop decode bound (while_loop overhead + short-scan projection)
 set -u
 cd "$(dirname "$0")/.."
 PERF="${1:-perf}"
@@ -46,5 +47,9 @@ fi
 timeout 2400 vlm-eval --data-dir "$EVAL_DATA" --split test --batch-size 64 \
     --max-length 50 --quantize embedding,mlp,attn,bridge --kv-int8 \
     --no-early-stop --output "$PERF/eval_e2e.json"
+
+echo "== 6. early-stop decode bound (while_loop overhead + short-scan) =="
+timeout 1800 python scripts/early_stop_ab.py --batch 64 --len 50 \
+    --short-len 25 --output "$PERF/early_stop_ab.json"
 
 echo "== queue done ($STAMP) — commit the $PERF artifacts =="
