@@ -44,6 +44,10 @@ if [ ! -f "$EVAL_DATA/test/captions.jsonl" ]; then
     timeout 900 vlm-data synth --output-dir "$EVAL_DATA" --num-samples 3000 \
         --platform cpu
 fi
+# pixel cache: without it the 1-core host JPEG path (~90 images/s) is the
+# eval bottleneck, below the ~165 captions/s the decode kernels sustain
+timeout 900 vlm-data precache --data-dir "$EVAL_DATA" --split test \
+    --platform cpu
 timeout 2400 vlm-eval --data-dir "$EVAL_DATA" --split test --batch-size 64 \
     --max-length 50 --quantize embedding,mlp,attn,bridge --kv-int8 \
     --no-early-stop --output "$PERF/eval_e2e.json"

@@ -76,6 +76,7 @@ def test_queue_invocation_order(queue_run):
         ("python", "encoder_mm_ab.py --micro"),
         ("python", "encoder_mm_ab.py"),
         ("vlm-data synth", ""),
+        ("vlm-data precache", ""),
         ("vlm-eval", "--kv-int8"),
         ("python", "early_stop_ab.py"),
     ]

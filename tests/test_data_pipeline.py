@@ -189,3 +189,68 @@ def test_get_transform_stats(tmp_path):
             < stats["avg_original_caption_length"])
     assert "<gdo" in stats["sample_original"]
     assert "<gdo" not in stats["sample_transformed"]
+
+
+# ---------------------------------------------------------------------------
+# Pixel cache (data/pixel_cache.py): decode once, stream from a memmap
+# ---------------------------------------------------------------------------
+
+
+def test_pixel_cache_roundtrip(tmp_path):
+    """Cached rows are byte-identical to fresh JPEG decodes, and the loader
+    produces identical batches with and without the cache attached."""
+    from vlm_bridge_tpu.data.pixel_cache import build_pixel_cache
+
+    groundcap.make_synthetic_dataset(tmp_path, num_samples=12, image_size=64)
+    cold = VLDataset(tmp_path, "train", pixel_cache="off")
+    assert cold.pixels is None
+    build_pixel_cache(cold, num_workers=2, verbose=False)
+
+    warm = VLDataset(tmp_path, "train")  # auto-attach
+    assert warm.pixels is not None
+    for i in range(len(cold)):
+        np.testing.assert_array_equal(warm.load_image(i),
+                                      cold.decode_image(i))
+
+    tok = ByteTokenizer()
+    b_cold = BatchLoader(cold, batch_size=4, tokenizer=tok,
+                         shuffle=False).first_batch()
+    b_warm = BatchLoader(warm, batch_size=4, tokenizer=tok,
+                         shuffle=False).first_batch()
+    np.testing.assert_array_equal(b_cold["pixel_values"],
+                                  b_warm["pixel_values"])
+    np.testing.assert_array_equal(b_cold["input_ids"], b_warm["input_ids"])
+
+
+def test_pixel_cache_stale_rejected(tmp_path):
+    """A cache built against a different manifest must NOT be attached."""
+    from vlm_bridge_tpu.data.pixel_cache import build_pixel_cache, try_attach
+
+    groundcap.make_synthetic_dataset(tmp_path, num_samples=12, image_size=64)
+    ds = VLDataset(tmp_path, "train", pixel_cache="off")
+    build_pixel_cache(ds, num_workers=2, verbose=False)
+
+    # append one more (valid) record -> fingerprint and count change
+    manifest = tmp_path / "train" / "captions.jsonl"
+    first = json.loads(manifest.read_text().splitlines()[0])
+    with open(manifest, "a") as f:
+        f.write(json.dumps({**first, "original_id": "dup"}) + "\n")
+
+    stale = VLDataset(tmp_path, "train")
+    assert stale.pixels is None  # refused, falls back to JPEG decode
+    assert try_attach(stale.root, stale.samples) is None
+    stale.load_image(0)  # decode fallback still works
+
+
+def test_precache_cli(tmp_path, capsys):
+    from vlm_bridge_tpu.data.cli import main
+
+    groundcap.make_synthetic_dataset(tmp_path, num_samples=12, image_size=64)
+    rc = main(["precache", "--data-dir", str(tmp_path), "--num-workers", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pixel cache" in out
+    # every split with a manifest got a cache
+    for split in ("train", "test"):
+        assert (tmp_path / split / "pixels_u8.npy").exists()
+        assert VLDataset(tmp_path, split).pixels is not None

@@ -48,6 +48,15 @@ def main(argv=None) -> int:
                           help="print split statistics")
     p_st.add_argument("--data-dir", default="data/groundcap")
 
+    p_pc = sub.add_parser(
+        "precache", parents=[common],
+        help="materialize the preprocessed uint8 pixel cache per split "
+             "(decode+resize once; loaders then stream at memory speed)")
+    p_pc.add_argument("--data-dir", default="data/groundcap")
+    p_pc.add_argument("--split", default=None,
+                      help="one split (default: every split present)")
+    p_pc.add_argument("--num-workers", type=int, default=4)
+
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -94,6 +103,21 @@ def main(argv=None) -> int:
     elif args.command == "stats":
         for split, st in groundcap.get_split_stats(args.data_dir).items():
             print(f"{split}: {st}")
+
+    elif args.command == "precache":
+        from pathlib import Path
+
+        from vlm_bridge_tpu.data.loader import VLDataset
+        from vlm_bridge_tpu.data.pixel_cache import build_pixel_cache
+
+        splits = ([args.split] if args.split else
+                  [p.parent.name for p in
+                   sorted(Path(args.data_dir).glob("*/captions.jsonl"))])
+        for split in splits:
+            t0 = time.time()
+            ds = VLDataset(args.data_dir, split, pixel_cache="off")
+            build_pixel_cache(ds, num_workers=args.num_workers)
+            print(f"  [{split}] {len(ds)} images in {time.time() - t0:.1f}s")
 
     return 0
 

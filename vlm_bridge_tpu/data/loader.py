@@ -31,7 +31,8 @@ class VLDataset:
     """Reads <data_dir>/<split>/captions.jsonl; skips malformed lines
     (reference data_loader.py:83-100)."""
 
-    def __init__(self, data_dir: str | Path, split: str):
+    def __init__(self, data_dir: str | Path, split: str,
+                 pixel_cache: str = "auto"):
         self.root = Path(data_dir) / split
         manifest = self.root / "captions.jsonl"
         if not manifest.exists():
@@ -53,12 +54,26 @@ class VLDataset:
                 self.samples.append(rec)
         if skipped:
             print(f"VLDataset[{split}]: skipped {skipped} malformed lines")
+        # pre-decoded uint8 pixel memmap (data/pixel_cache.py): a stale or
+        # absent cache silently falls back to per-image JPEG decode
+        self.pixels = None
+        if pixel_cache == "auto":
+            from vlm_bridge_tpu.data.pixel_cache import try_attach
+
+            self.pixels = try_attach(self.root, self.samples)
 
     def __len__(self) -> int:
         return len(self.samples)
 
     def load_image(self, idx: int) -> np.ndarray:
-        """uint8 [224, 224, 3] resized/cropped RGB."""
+        """uint8 [224, 224, 3] resized/cropped RGB (memmap row if a pixel
+        cache is attached; JPEG decode otherwise)."""
+        if self.pixels is not None:
+            return self.pixels[idx]
+        return self.decode_image(idx)
+
+    def decode_image(self, idx: int) -> np.ndarray:
+        """uint8 [224, 224, 3]: JPEG decode + resize/crop (cache-independent)."""
         from PIL import Image
 
         rec = self.samples[idx]

@@ -138,6 +138,7 @@ def evaluate_split(
         "num_samples": n_done,
         "generation_time_s": gen_time,
         "host_loop_overlapped": True,
+        "pixel_cache": ds.pixels is not None,
         "samples": list(zip(candidates[:10], [r[0] for r in refs[:10]])),
     }
     if dump_samples:
