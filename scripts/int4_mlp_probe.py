@@ -1,0 +1,163 @@
+"""On-chip probe: int4 nibble-packed MLP vs int8 at the 2B decode shape.
+
+Decode is weight-stream-bound (DESIGN.md §2: LM stack 3.07 ms/token at 90%
+of a 2.78 ms floor, of which the 26 MLPs are ~1.66 GB of the 2.06 GB int8
+stream). int4 halves the MLP bytes — projected ~1.0 ms/token. This probe
+decides whether Mosaic lowers the unpack (bitwise and/where/arithmetic
+right-shift on int8 vectors) efficiently enough to realize it, BEFORE any
+integration into the serving kernels.
+
+Method (same-process, same-trace, interleaved — scripts/decode_ab.py
+methodology): one jitted program per variant runs `tokens` iterations of a
+26-layer scan of the fused MLP kernel at [B=64, H=2304] x [H, F=9216], so
+every iteration re-streams all 26 layers' weights from HBM exactly like a
+decode step. Accept at >=1.25x (byte ratio is 2x on the MLP stream; the
+unpack VPU work and the halved DMA grain eat some of it).
+
+Usage: python scripts/int4_mlp_probe.py [--tokens 20] [--reps 5]
+       [--output perf/int4_mlp_probe.json]
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=2304)
+    ap.add_argument("--ffn", type=int, default=9216)
+    ap.add_argument("--layers", type=int, default=26)
+    ap.add_argument("--tokens", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--block-f", type=int, default=512)
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="force a JAX backend (cpu = harness smoke; the "
+                         "kernels then run via the jnp fallback)")
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            os.environ.setdefault("VLM_BRIDGE_DISABLE_PALLAS", "1")
+
+    from vlm_bridge_tpu.ops import quant
+
+    B, H, F, L = args.batch, args.hidden, args.ffn, args.layers
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(0, 1, (B, H)), jnp.bfloat16)
+
+    # L distinct layers so nothing can be cached across the scan. Build
+    # one layer at a time and keep only the quantized forms (the f32
+    # originals are ~255 MB/layer — holding all 26 would not fit a 16 GB
+    # chip next to the stacks); layer 0's f32 stays for the quality bound.
+    print(f"building {L} layers ({L * 3 * H * F / 2**30:.2f} G f32 "
+          f"transient)...", file=sys.stderr)
+    q8, q4s, f32_0 = [], [], None
+    for i in range(L):
+        r = np.random.default_rng(100 + i)
+        gate = jnp.asarray(r.normal(0, 0.02, (H, F)), jnp.float32)
+        up = jnp.asarray(r.normal(0, 0.02, (H, F)), jnp.float32)
+        down = jnp.asarray(r.normal(0, 0.02, (F, H)), jnp.float32)
+        q8.append({"gate": quant.quantize_int8(gate),
+                   "up": quant.quantize_int8(up),
+                   "down": quant.quantize_int8(down)})
+        q4s.append({"gate": quant.quantize_int4(gate),
+                    "up": quant.quantize_int4(up),
+                    "down": quant.repack_down_blockwise(
+                        quant.quantize_int4(down), block_f=args.block_f)})
+        if i == 0:
+            f32_0 = (gate, up, down)
+        del gate, up, down  # free the f32 buffers before the next layer
+    stack8 = jax.tree.map(lambda *xs: jnp.stack(xs), *q8)
+    del q8
+    stack4 = jax.tree.map(lambda *xs: jnp.stack(xs), *q4s)
+    del q4s
+    g0, u0, d0 = f32_0
+
+    # quality bound at this shape: int4 vs f32 MLP relative output error
+    def mlp_f32(x, g, u, d):
+        h = jax.nn.gelu(x.astype(jnp.float32) @ g, approximate=True) \
+            * (x.astype(jnp.float32) @ u)
+        return h @ d
+
+    y_f32 = mlp_f32(x0, g0, u0, d0)
+    y_i4 = quant.int4_mlp(x0, *(jax.tree.map(lambda s: s[0], stack4)[k]
+                                for k in ("gate", "up", "down")),
+                          block_f=args.block_f).astype(jnp.float32)
+    y_i8 = quant.int8_mlp(x0, *(jax.tree.map(lambda s: s[0], stack8)[k]
+                                for k in ("gate", "up", "down")),
+                          block_f=args.block_f).astype(jnp.float32)
+    rel4 = float(jnp.linalg.norm(y_i4 - y_f32) / jnp.linalg.norm(y_f32))
+    rel8 = float(jnp.linalg.norm(y_i8 - y_f32) / jnp.linalg.norm(y_f32))
+    print(f"rel output err vs f32: int8={rel8:.4f} int4={rel4:.4f}",
+          file=sys.stderr)
+
+    @functools.partial(jax.jit, static_argnames=("which",))
+    def run(x, stack, which):
+        def token(x, _):
+            def layer(x, w):
+                fn = quant.int4_mlp if which == "int4" else quant.int8_mlp
+                y = fn(x, w["gate"], w["up"], w["down"],
+                       block_f=args.block_f)
+                # residual keeps magnitudes bounded over L*T iterations
+                return (x + 0.01 * y).astype(x.dtype), None
+            x, _ = jax.lax.scan(layer, x, stack)
+            return x, None
+        x, _ = jax.lax.scan(token, x, None, length=args.tokens)
+        return x
+
+    for which, stack in (("int8", stack8), ("int4", stack4)):
+        t0 = time.time()
+        np.asarray(run(x0, stack, which))
+        print(f"{which} compile+warm {time.time() - t0:.0f}s",
+              file=sys.stderr)
+
+    times = {"int8": [], "int4": []}
+    for rep in range(args.reps):
+        for which, stack in (("int8", stack8), ("int4", stack4)):
+            t0 = time.time()
+            np.asarray(run(x0, stack, which))
+            times[which].append(time.time() - t0)
+        print(f"rep {rep}: " + " ".join(
+            f"{k}={v[-1] / args.tokens * 1e3:.2f}ms/tok"
+            for k, v in times.items()), file=sys.stderr)
+
+    med8 = float(np.median(times["int8"])) / args.tokens
+    med4 = float(np.median(times["int4"])) / args.tokens
+    result = {
+        "metric": "int4_mlp_speedup_vs_int8",
+        "value": med8 / med4,
+        "unit": "x",
+        "batch": B, "hidden": H, "ffn": F, "layers": L,
+        "tokens": args.tokens, "reps": args.reps, "block_f": args.block_f,
+        "int8_ms_per_token": med8 * 1e3,
+        "int4_ms_per_token": med4 * 1e3,
+        "rel_err_int8_vs_f32": rel8,
+        "rel_err_int4_vs_f32": rel4,
+        "accept_threshold": 1.25,
+        "accepted": med8 / med4 >= 1.25,
+        "device": str(jax.devices()[0]),
+        "note": ("per-'token' time = one 26-layer MLP weight stream; "
+                 "byte ratio is 2x on the MLP stream, accept >= 1.25x"),
+    }
+    print(json.dumps(result))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(result, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

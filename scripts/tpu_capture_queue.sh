@@ -12,6 +12,7 @@
 #   4. full-encode A/B at the best blocks from (3) — edit BLOCKS below
 #   5. end-to-end vlm-eval on a synthetic test split, serving recipe
 #   6. early-stop decode bound (while_loop overhead + short-scan projection)
+#   7. int4 nibble-packed MLP vs int8 same-trace A/B at the decode shape
 set -u
 cd "$(dirname "$0")/.."
 PERF="${1:-perf}"
@@ -55,5 +56,9 @@ timeout 2400 vlm-eval --data-dir "$EVAL_DATA" --split test --batch-size 64 \
 echo "== 6. early-stop decode bound (while_loop overhead + short-scan) =="
 timeout 1800 python scripts/early_stop_ab.py --batch 64 --len 50 \
     --short-len 25 --output "$PERF/early_stop_ab.json"
+
+echo "== 7. int4 MLP probe (nibble-packed weights vs int8, decode shape) =="
+timeout 1800 python scripts/int4_mlp_probe.py \
+    --output "$PERF/int4_mlp_probe.json"
 
 echo "== queue done ($STAMP) — commit the $PERF artifacts =="

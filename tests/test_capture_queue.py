@@ -79,6 +79,7 @@ def test_queue_invocation_order(queue_run):
         ("vlm-data precache", ""),
         ("vlm-eval", "--kv-int8"),
         ("python", "early_stop_ab.py"),
+        ("python", "int4_mlp_probe.py"),
     ]
     assert len(seq) == len(expect), seq
     for call, (prefix, must_contain) in zip(seq, expect):

@@ -317,3 +317,73 @@ def test_int8_matmul_t_argmax_kernel_interpret(monkeypatch):
     x_nan = x.at[2].set(jnp.nan)
     got_nan = np.asarray(quant.int8_matmul_t_argmax(x_nan, wq, block_v=256))
     assert got_nan[2] == 0
+
+
+# ---------------------------------------------------------------------------
+# Int4 nibble packing (probe stage — scripts/int4_mlp_probe.py decides
+# on-chip acceptance)
+# ---------------------------------------------------------------------------
+
+
+def test_int4_pack_roundtrip():
+    from vlm_bridge_tpu.ops import quant as q4
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(0, 0.1, (64, 32)), jnp.float32)
+    wq = q4.quantize_int4(w, axis=0)
+    assert wq["w_int4"].shape == (32, 32) and wq["w_int4"].dtype == jnp.int8
+    deq = q4.dequantize_int4(wq, axis=0)
+    # symmetric 4-bit: per-element error <= scale/2
+    err = np.abs(np.asarray(deq - w))
+    assert (err <= np.asarray(wq["scale"])[None, :] / 2 + 1e-7).all()
+    # unpack really inverts the packing
+    lo, hi = q4.unpack_int4(wq["w_int4"])
+    assert int(np.abs(np.asarray(lo)).max()) <= 7
+    assert int(np.abs(np.asarray(hi)).max()) <= 7
+
+
+def test_int4_blockwise_repack_consistent():
+    from vlm_bridge_tpu.ops import quant as q4
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.normal(0, 0.1, (1024, 64)), jnp.float32)
+    wq = q4.quantize_int4(w, axis=0)
+    blk = q4.repack_down_blockwise(wq, block_f=512)
+    np.testing.assert_array_equal(
+        np.asarray(q4.dequantize_int4(wq, axis=0)),
+        np.asarray(q4.dequantize_int4_blockwise(blk, block_f=512)))
+
+
+def test_int4_mlp_fallback_and_kernel_match():
+    from vlm_bridge_tpu.ops import quant as q4
+
+    rng = np.random.default_rng(9)
+    H, F, block_f = 256, 2048, 512
+    x = jnp.asarray(rng.normal(0, 1, (4, H)), jnp.float32)
+    gate = q4.quantize_int4(
+        jnp.asarray(rng.normal(0, 0.1, (H, F)), jnp.float32), axis=0)
+    up = q4.quantize_int4(
+        jnp.asarray(rng.normal(0, 0.1, (H, F)), jnp.float32), axis=0)
+    down = q4.repack_down_blockwise(q4.quantize_int4(
+        jnp.asarray(rng.normal(0, 0.1, (F, H)), jnp.float32), axis=0),
+        block_f=block_f)
+
+    def ref(x, round_h=False):
+        g = x @ q4.dequantize_int4(gate, axis=0)
+        u = x @ q4.dequantize_int4(up, axis=0)
+        h = jax.nn.gelu(g, approximate=True) * u
+        if round_h:  # the kernel keeps the [M, F] intermediate in bf16
+            h = _bf16(h)
+        return h @ q4.dequantize_int4_blockwise(down, block_f=block_f)
+
+    got = np.asarray(q4.int4_mlp(x, gate, up, down, block_f=block_f))
+    np.testing.assert_allclose(got, np.asarray(ref(x)), atol=2e-4, rtol=2e-3)
+
+    quant.INTERPRET = True
+    try:
+        got_k = np.asarray(q4.int4_mlp(x, gate, up, down, block_f=block_f))
+        np.testing.assert_allclose(
+            got_k, np.asarray(ref(_bf16(x), round_h=True)),
+            atol=5e-3, rtol=2e-2)
+    finally:
+        quant.INTERPRET = False

@@ -470,3 +470,191 @@ def _int8_mlp_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref, ds_ref,
     @pl.when(j == n_inner - 1)
     def _finish():
         o_ref[...] = (acc[:] * ds_ref[0][None, :]).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Int4 weight packing (probe stage — not yet wired into the serving path)
+# ---------------------------------------------------------------------------
+#
+# Decode is weight-stream-bound and the MLPs are 80% of the layer bytes
+# (1.66 GB of the 2.06 GB int8 stack at 2B): int4 halves that stream, a
+# projected ~1.0 ms/token off the 3.07 ms LM stack (DESIGN.md §2 anatomy).
+# Packing: two int4 values share one int8 byte along CONTIGUOUS HALVES of
+# the contraction axis — packed[k, n] holds (w[k, n] & 0xF) | (w[k + K/2,
+# n] << 4). The kernel then computes dot(x[:, :K/2], lo) + dot(x[:, K/2:],
+# hi): unpacking needs only bitwise ops and the x slices are contiguous —
+# no reshapes, no strided loads, no lane-dim expansion (all Mosaic-hostile,
+# see the probed v5e lowering notes in the repo history). Scales stay per
+# output channel, symmetric, like int8. On-chip acceptance is decided by
+# scripts/int4_mlp_probe.py (same-trace A/B vs int8_mlp); integration into
+# gemma2/decode_kernels only follows a measured win.
+
+
+def quantize_int4(w: jax.Array, *, axis: int = 0) -> dict:
+    """Symmetric per-channel int4 quantization, nibble-packed along `axis`.
+
+    The contraction axis length must be even. Returns
+    {"w_int4": int8 [K/2, N] (axis=0), "scale": f32 [N]} — w ≈ unpack *
+    scale with values in [-7, 7] (−8 unused, symmetric like int8's ±127).
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=axis)
+    scale = jnp.maximum(absmax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wf / jnp.expand_dims(scale, axis)),
+                 -7, 7).astype(jnp.int8)
+    K = q.shape[axis]
+    assert K % 2 == 0, "contraction axis must be even to nibble-pack"
+    lo, hi = (q[: K // 2], q[K // 2:]) if axis == 0 else \
+             (q[:, : K // 2], q[:, K // 2:])
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, 0x0F), jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return {"w_int4": packed, "scale": scale}
+
+
+def is_quantized_int4(w) -> bool:
+    return isinstance(w, dict) and "w_int4" in w
+
+
+def unpack_int4(packed: jax.Array):
+    """int8 [K/2, ...] -> (lo, hi) int8 nibbles, sign-extended.
+
+    lo avoids a left shift (where-select on the sign bit); hi is one
+    arithmetic right shift — both plain VPU elementwise ops.
+    """
+    lo_u = jnp.bitwise_and(packed, 0x0F)
+    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.int8)
+    hi = jnp.right_shift(packed, 4).astype(jnp.int8)  # arithmetic on int8
+    return lo, hi
+
+
+def dequantize_int4(wq: dict, *, axis: int = 0, dtype=jnp.float32) -> jax.Array:
+    lo, hi = unpack_int4(wq["w_int4"])
+    q = jnp.concatenate([lo, hi], axis=axis)
+    return (q.astype(jnp.float32)
+            * jnp.expand_dims(wq["scale"], axis)).astype(dtype)
+
+
+def dequantize_int4_blockwise(wq: dict, *, block_f: int,
+                              dtype=jnp.float32) -> jax.Array:
+    """Dequantize a BLOCK-LOCALLY packed [F/2, H] weight (the layout
+    `repack_down_blockwise` produces and `int4_mlp` consumes)."""
+    lo, hi = unpack_int4(wq["w_int4"])  # [F/2, H] each
+    half = block_f // 2
+    F2, H = lo.shape
+    nB = F2 // half
+    q = jnp.stack([lo.reshape(nB, half, H), hi.reshape(nB, half, H)],
+                  axis=1).reshape(2 * F2, H)
+    return (q.astype(jnp.float32) * wq["scale"][None, :]).astype(dtype)
+
+
+def int4_mlp(x: jax.Array, gate_q: dict, up_q: dict, down_q: dict,
+             *, block_f: int = 512) -> jax.Array:
+    """int8_mlp with nibble-packed int4 weights: same fusion, half the bytes.
+
+    gate/up are packed over the full H contraction ([H/2, F] int8); down is
+    packed BLOCK-LOCALLY over F (each [block_f, H] tile packs to
+    [block_f/2, H] with its nibble partner block_f/2 rows away), so the
+    per-block h tile splits into contiguous halves exactly like x does.
+    x: [M, H]; returns [M, H] in x.dtype.
+    """
+    g_w, g_s = gate_q["w_int4"], gate_q["scale"]
+    u_w, u_s = up_q["w_int4"], up_q["scale"]
+    d_w, d_s = down_q["w_int4"], down_q["scale"]
+    H2, F = g_w.shape
+    H = 2 * H2
+    assert x.shape[1] == H and d_w.shape == (F // 2, H)
+    if not _use_pallas() and not INTERPRET:
+        g = jnp.dot(x, dequantize_int4(gate_q, dtype=x.dtype),
+                    preferred_element_type=jnp.float32)
+        u = jnp.dot(x, dequantize_int4(up_q, dtype=x.dtype),
+                    preferred_element_type=jnp.float32)
+        h = (jax.nn.gelu(g, approximate=True) * u).astype(x.dtype)
+        y = jnp.dot(h, dequantize_int4_blockwise(
+                        down_q, block_f=block_f, dtype=x.dtype),
+                    preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+    M = x.shape[0]
+    Mp = _round_up(M, 8)
+    assert H % 256 == 0 and F % (2 * block_f) == 0 and block_f % 256 == 0, (
+        "int4_mlp probe supports shapes where halves stay lane-aligned "
+        f"(H={H}, F={F}, block_f={block_f})")
+    xp = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    nF = F // block_f
+
+    # down packing is block-local over F: row r of block j pairs with row
+    # r + block_f/2 of the SAME block -> reorder global halves to per-block
+    # halves once at quantize time would be better; done here for clarity
+    # since this runs once per params object, not per step.
+    out = pl.pallas_call(
+        functools.partial(_int4_mlp_kernel, n_inner=nF),
+        grid=(nF,),
+        in_specs=[
+            pl.BlockSpec((Mp, H), lambda j: (0, 0)),
+            pl.BlockSpec((H // 2, block_f), lambda j: (0, j)),
+            pl.BlockSpec((H // 2, block_f), lambda j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda j: (0, j)),
+            pl.BlockSpec((block_f // 2, H), lambda j: (j, 0)),
+            pl.BlockSpec((1, H), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Mp, H), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Mp, H), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Mp, H), jnp.float32)],
+        interpret=INTERPRET,
+    )(xp, g_w, u_w, g_s[None, :], u_s[None, :], d_w, d_s[None, :])
+    return out[:M]
+
+
+def repack_down_blockwise(down_q: dict, *, block_f: int = 512) -> dict:
+    """Convert a globally-half-packed [F/2, H] down projection into the
+    block-local packing int4_mlp expects (one-time, at quantize time)."""
+    lo, hi = unpack_int4(down_q["w_int4"])
+    q = jnp.concatenate([lo, hi], axis=0)  # [F, H] int4 values in int8
+    F, H = q.shape
+    assert F % block_f == 0
+    half = block_f // 2
+    qb = q.reshape(F // block_f, 2, half, H)  # per-block halves
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(qb[:, 0], 0x0F), jnp.left_shift(qb[:, 1], 4)
+    ).astype(jnp.int8).reshape(F // 2, H)
+    return {"w_int4": packed, "scale": down_q["scale"]}
+
+
+def _int4_mlp_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref, ds_ref,
+                     o_ref, acc, *, n_inner):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    H2 = g_ref.shape[0]
+    x_lo = x_ref[:, :H2].astype(jnp.bfloat16)
+    x_hi = x_ref[:, H2:].astype(jnp.bfloat16)
+
+    def mm_packed(xl, xh, p_ref, s_row):
+        lo, hi = unpack_int4(p_ref[...])
+        r = jax.lax.dot_general(
+            xl, lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r += jax.lax.dot_general(
+            xh, hi.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return r * s_row[None, :]
+
+    g = mm_packed(x_lo, x_hi, g_ref, gs_ref[0])
+    u = mm_packed(x_lo, x_hi, u_ref, us_ref[0])
+    h = (jax.nn.gelu(g, approximate=True) * u).astype(jnp.bfloat16)
+    F2 = d_ref.shape[0]
+    d_lo, d_hi = unpack_int4(d_ref[...])
+    acc[:] += jax.lax.dot_general(
+        h[:, :F2], d_lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc[:] += jax.lax.dot_general(
+        h[:, F2:], d_hi.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_inner - 1)
+    def _finish():
+        o_ref[...] = (acc[:] * ds_ref[0][None, :]).astype(o_ref.dtype)
