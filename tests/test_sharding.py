@@ -68,3 +68,35 @@ def test_shard_batch_places_batch_dim(mesh):
 def test_auto_mesh_validates_size():
     with pytest.raises(ValueError, match="mesh"):
         auto_mesh(data=3, model=3, devices=jax.devices()[:8])
+
+
+@pytest.mark.slow
+def test_gemma2_27b_tp_lowering():
+    """27B never fits one chip — prove the TP story at its REAL dims by
+    AOT-compiling the train step on a (2 data x 4 model) virtual mesh
+    (GSPMD partitioning failures are shape-dependent, so tiny stand-ins
+    prove nothing; same method as __graft_entry__'s flagship phase).
+    Nothing is materialized: 27B params stay ShapeDtypeStructs."""
+    from vlm_bridge_tpu.configs import TrainingConfig
+    from vlm_bridge_tpu.training.train_step import (
+        make_optimizer, make_schedule, make_train_step)
+    import __graft_entry__ as ge
+
+    cfg = VLMConfig.gemma2_27b()
+    assert cfg.lm.hidden_size == 4608 and cfg.lm.num_layers == 46
+    tc = TrainingConfig(batch_size=8, loss_chunk_size=128)
+    mesh = auto_mesh(data=2, model=4, devices=jax.devices()[:8])
+    opt = make_optimizer(tc, 100)
+    step_fn = make_train_step(cfg, tc, opt, make_schedule(tc, 100),
+                              activation_dtype=jnp.bfloat16)
+    state_av, frozen_av, batch_av, rng_av, params_sh, p_shardings = (
+        ge._flagship_avals(cfg, tc, mesh))
+    # the TP rules must actually split the 27B attention/MLP weights
+    qspec = p_shardings["lm"]["layers"]["0"]["attn"]["q"].spec \
+        if isinstance(params_sh["lm"]["layers"], dict) \
+        else p_shardings["lm"]["layers"][0]["attn"]["q"].spec
+    assert "model" in str(qspec)
+    with mesh:
+        compiled = jax.jit(step_fn, donate_argnums=(0,)).lower(
+            state_av, frozen_av, batch_av, rng_av).compile()
+    assert jax.tree.leaves(compiled.output_shardings)

@@ -123,6 +123,17 @@ class Gemma2Config:
         )
 
     @staticmethod
+    def gemma2_27b() -> "Gemma2Config":
+        """google/gemma-2-27b: hidden 4608, FFN 36864, 46 layers, 32 q /
+        16 kv heads, head_dim 128. Unlike 2b/9b, query_pre_attn_scalar is
+        hidden/num_heads = 144 (HF config.json), not head_dim."""
+        return Gemma2Config(
+            hidden_size=4608, intermediate_size=36864, num_layers=46,
+            num_heads=32, num_kv_heads=16, head_dim=128,
+            query_pre_attn_scalar=144.0,
+        )
+
+    @staticmethod
     def tiny_test(vocab_size: int = 512) -> "Gemma2Config":
         return Gemma2Config(
             vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
@@ -191,6 +202,19 @@ class VLMConfig:
         bridge = BridgeConfig(
             vision_dim=1024, language_dim=lm.hidden_size,
             num_heads_cross=8, num_heads_self=28,
+        )
+        return VLMConfig(lm=lm, bridge=bridge)
+
+    @staticmethod
+    def gemma2_27b() -> "VLMConfig":
+        """DINOv2-large + Gemma-2-27B. 27B never fits one 16 GB chip (int8
+        alone is ~27 GB): the mesh "model" axis is mandatory (TP ≥ 4 for
+        bf16, ≥ 2 int8-weight serving). Bridge keeps the reference's
+        per-head dims (cross 8 heads; self 4608/128 = 36 heads)."""
+        lm = Gemma2Config.gemma2_27b()
+        bridge = BridgeConfig(
+            vision_dim=1024, language_dim=lm.hidden_size,
+            num_heads_cross=8, num_heads_self=36,
         )
         return VLMConfig(lm=lm, bridge=bridge)
 
@@ -308,6 +332,8 @@ class TrainingConfig:
             return VLMConfig.tiny_test()
         if self.model_preset == "gemma2_9b":
             return VLMConfig.gemma2_9b()
+        if self.model_preset == "gemma2_27b":
+            return VLMConfig.gemma2_27b()
         if self.model_preset != "default":
             raise ValueError(f"unknown model_preset: {self.model_preset}")
         return VLMConfig.default()
