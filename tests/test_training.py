@@ -223,3 +223,26 @@ def test_validation_samples_under_tp_mesh(data_dir, tmp_path):
     ctx.writer.flush()
     events = list((tmp_path / "logs").glob("events.out.tfevents.*"))
     assert events and len(list(read_events(events[0]))) > 3
+
+
+def test_precache_pixels_builds_and_attaches(tmp_path):
+    """precache_pixels=True must materialize the uint8 pixel cache for
+    train+val at environment prep, and the loaders must stream from it."""
+    groundcap.make_synthetic_dataset(tmp_path / "data", num_samples=40,
+                                     image_size=70, seed=2)
+    import shutil
+    shutil.rmtree(tmp_path / "data" / "val")
+    shutil.copytree(tmp_path / "data" / "test", tmp_path / "data" / "val")
+
+    tc = make_tc(tmp_path / "data", tmp_path, precache_pixels=True)
+    ctx = orchestrator.prepare_environment(tc, activation_dtype=jnp.float32)
+    for split in ("train", "val"):
+        assert (tmp_path / "data" / split / "pixels_u8.npy").exists()
+    assert ctx.train_loader.ds.pixels is not None
+    assert ctx.val_loader.ds.pixels is not None
+    # batches come out identical to the JPEG-decode path
+    from vlm_bridge_tpu.data.loader import VLDataset
+    cold = VLDataset(tmp_path / "data", "train", pixel_cache="off")
+    b = ctx.train_loader.first_batch()
+    np.testing.assert_array_equal(
+        b["pixel_values"][0], cold.decode_image(0))

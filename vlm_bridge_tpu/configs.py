@@ -284,6 +284,11 @@ class TrainingConfig:
     loss_chunk_size: int = 128                   # seq chunking for the 256k-vocab CE
     loss_remat: bool = True                      # rematerialize per-chunk logits
     max_steps_per_epoch: Optional[int] = None    # truncate (tests / smoke runs)
+    precache_pixels: bool = False                # build the uint8 pixel cache
+                                                 # once at startup (epochs then
+                                                 # stream a memmap, no JPEG
+                                                 # re-decode; vlm-data precache
+                                                 # does the same offline)
     profile_trace_dir: Optional[str] = None      # capture a jax.profiler trace here
     profile_start_step: int = 10                 # trace window start (epoch-local)
     profile_num_steps: int = 5                   # trace window length

@@ -79,6 +79,19 @@ def prepare_environment(
     if tokenizer is None:
         tokenizer = get_tokenizer(tc.tokenizer_path)
 
+    if tc.precache_pixels and jax.process_index() == 0:
+        # one-time per split: after this every epoch streams a memmap
+        # instead of re-decoding every JPEG (reference data_loader.py:118)
+        from vlm_bridge_tpu.data.loader import VLDataset
+        from vlm_bridge_tpu.data.pixel_cache import build_pixel_cache
+
+        for split in ("train", "val"):
+            ds = VLDataset(tc.data_dir, split)
+            if ds.pixels is None and len(ds):
+                print(f"[data] building pixel cache for {split} "
+                      f"({len(ds)} images)...", flush=True)
+                build_pixel_cache(ds, num_workers=tc.num_workers)
+
     train_loader, val_loader, _ = get_data_loaders(
         tc.data_dir, batch_size=tc.batch_size, tokenizer=tokenizer,
         max_text_len=tc.max_text_len, buckets=tc.pad_to_buckets,
@@ -86,6 +99,9 @@ def prepare_environment(
     steps_per_epoch = len(train_loader)
     if tc.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, tc.max_steps_per_epoch)
+    print(f"[data] train pixel source: "
+          f"{'memmap cache' if train_loader.ds.pixels is not None else 'JPEG decode'}",
+          flush=True)
 
     stack = build_stack(
         tc, params=params, mesh=mesh, steps_per_epoch=steps_per_epoch,
