@@ -410,7 +410,9 @@ def main():
 
     try:
         run(args)
-    except SystemExit:
+    except (SystemExit, KeyboardInterrupt):
+        # a deliberate abort must keep interrupt semantics, not masquerade
+        # as a backend-failure artifact in perf/
         raise
     except BaseException as e:
         import traceback

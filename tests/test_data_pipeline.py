@@ -254,3 +254,21 @@ def test_precache_cli(tmp_path, capsys):
     for split in ("train", "test"):
         assert (tmp_path / split / "pixels_u8.npy").exists()
         assert VLDataset(tmp_path, split).pixels is not None
+
+
+def test_pixel_cache_stale_on_content_change(tmp_path):
+    """Re-transformed image CONTENT under unchanged filenames must also
+    invalidate the cache (fingerprint covers size+mtime, not just paths)."""
+    from vlm_bridge_tpu.data.pixel_cache import build_pixel_cache
+
+    groundcap.make_synthetic_dataset(tmp_path, num_samples=12, image_size=64)
+    ds = VLDataset(tmp_path, "train", pixel_cache="off")
+    build_pixel_cache(ds, num_workers=2, verbose=False)
+    assert VLDataset(tmp_path, "train").pixels is not None
+
+    # rewrite one image in place (same path, new bytes/mtime)
+    img_path = tmp_path / "train" / ds.samples[0]["image_path"]
+    from PIL import Image
+    Image.new("RGB", (64, 64), (255, 0, 0)).save(img_path, quality=50)
+
+    assert VLDataset(tmp_path, "train").pixels is None

@@ -147,3 +147,38 @@ def test_vlm_eval_cli_mesh_flag(tmp_path, capsys):
     result = json.loads(out.read_text())
     assert result["num_samples"] == 8
     assert "bleu4" in result["metrics"]
+
+
+def test_vlm_eval_bridge_causal_autodetect(tmp_path, capsys):
+    """--exact eval of a bridge_causal-trained checkpoint must pick up the
+    causal mask from the trainer's meta sidecar automatically."""
+    import json as _json
+
+    from vlm_bridge_tpu.configs import TrainingConfig
+    from vlm_bridge_tpu.inference.evaluate import main
+    from vlm_bridge_tpu.training import orchestrator
+
+    make_synthetic_dataset(tmp_path / "d", num_samples=40, image_size=70,
+                           seed=5)
+    import shutil
+    shutil.rmtree(tmp_path / "d" / "val")
+    shutil.copytree(tmp_path / "d" / "test", tmp_path / "d" / "val")
+    tc = TrainingConfig(
+        model_preset="tiny_test", data_dir=str(tmp_path / "d"),
+        batch_size=4, num_epochs=1, max_steps_per_epoch=2, mesh_shape=(1,),
+        max_text_len=32, pad_to_buckets=(16, 32), loss_chunk_size=16,
+        checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        bridge_causal=True, num_validation_samples=0,
+        generate_samples_every_n_epochs=100)
+    orchestrator.execute_full_training(tc)
+
+    out = tmp_path / "r.json"
+    rc = main(["--data-dir", str(tmp_path / "d"), "--split", "test",
+               "--preset", "tiny", "--platform", "cpu", "--exact",
+               "--checkpoint", str(tmp_path / "ckpt" / "latest"),
+               "--batch-size", "4", "--max-length", "4",
+               "--max-samples", "4", "--output", str(out)])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "causal bridge mask" in stdout
+    assert _json.loads(out.read_text())["num_samples"] == 4

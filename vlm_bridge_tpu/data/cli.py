@@ -56,6 +56,8 @@ def main(argv=None) -> int:
     p_pc.add_argument("--split", default=None,
                       help="one split (default: every split present)")
     p_pc.add_argument("--num-workers", type=int, default=4)
+    p_pc.add_argument("--force", action="store_true",
+                      help="rebuild even if a fresh cache exists")
 
     args = parser.parse_args(argv)
 
@@ -115,7 +117,12 @@ def main(argv=None) -> int:
                    sorted(Path(args.data_dir).glob("*/captions.jsonl"))])
         for split in splits:
             t0 = time.time()
-            ds = VLDataset(args.data_dir, split, pixel_cache="off")
+            ds = VLDataset(args.data_dir, split)
+            if ds.pixels is not None and not args.force:
+                print(f"  [{split}] cache fresh ({len(ds)} images) — "
+                      f"skipping (--force rebuilds)")
+                continue
+            ds.pixels = None  # build from the JPEG path
             build_pixel_cache(ds, num_workers=args.num_workers)
             print(f"  [{split}] {len(ds)} images in {time.time() - t0:.1f}s")
 

@@ -33,10 +33,20 @@ CACHE_NAME = "pixels_u8.npy"
 META_NAME = "pixels_u8.meta.json"
 
 
-def manifest_fingerprint(samples: List[dict]) -> str:
+def manifest_fingerprint(root: Path, samples: List[dict]) -> str:
+    """sha1 over (path, size, mtime_ns) of every image: a re-transform that
+    rewrites image CONTENT under the same filenames (e.g. a different
+    --jpeg-quality) must invalidate the cache, not just manifest edits.
+    mtime moves on copy, which at worst forces a rebuild — the safe
+    direction."""
     h = hashlib.sha1()
     for rec in samples:
         h.update(rec["image_path"].encode())
+        try:
+            st = (root / rec["image_path"]).stat()
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(b"missing")
         h.update(b"\0")
     return h.hexdigest()
 
@@ -51,7 +61,8 @@ def try_attach(root: Path, samples: List[dict],
     try:
         meta = json.loads(meta_p.read_text())
         if (meta.get("n") != len(samples) or meta.get("crop") != crop
-                or meta.get("fingerprint") != manifest_fingerprint(samples)):
+                or meta.get("fingerprint") != manifest_fingerprint(
+                    root, samples)):
             return None
         arr = np.load(npy, mmap_mode="r")
         if arr.shape != (len(samples), crop, crop, 3) or arr.dtype != np.uint8:
@@ -68,14 +79,19 @@ def build_pixel_cache(dataset, *, num_workers: int = 4,
     Writes the data through an on-disk memmap (no N×150KB RAM spike), then
     the meta sidecar LAST so interrupted builds are never attached.
     """
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
     root, samples = dataset.root, dataset.samples
     crop = CROP_SIZE
     npy, meta_p = root / CACHE_NAME, root / META_NAME
     meta_p.unlink(missing_ok=True)  # invalidate any previous cache first
+    # build into a temp file + atomic rename: truncating the live .npy in
+    # place would SIGBUS (or feed half-written rows to) any process that
+    # already attached a memmap over the old inode
+    tmp = root / (CACHE_NAME + ".tmp")
     out = np.lib.format.open_memmap(
-        npy, mode="w+", dtype=np.uint8, shape=(len(samples), crop, crop, 3))
+        tmp, mode="w+", dtype=np.uint8, shape=(len(samples), crop, crop, 3))
 
     def _one(i: int) -> None:
         out[i] = dataset.decode_image(i)
@@ -85,9 +101,11 @@ def build_pixel_cache(dataset, *, num_workers: int = 4,
             if verbose and (k + 1) % 2000 == 0:
                 print(f"  precached {k + 1}/{len(samples)}", flush=True)
     out.flush()
+    del out
+    os.replace(tmp, npy)
     meta_p.write_text(json.dumps({
         "n": len(samples), "crop": crop,
-        "fingerprint": manifest_fingerprint(samples),
+        "fingerprint": manifest_fingerprint(root, samples),
     }))
     if verbose:
         mb = npy.stat().st_size / 2**20

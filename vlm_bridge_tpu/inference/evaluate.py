@@ -185,6 +185,11 @@ def main(argv=None) -> int:
                          "EOS (default: on unless --exact). --no-early-stop "
                          "matches bench.py's fixed-length scan for "
                          "like-for-like throughput comparison")
+    ap.add_argument("--bridge-causal", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="causal bridge self-attention in --exact mode "
+                         "(must match how the checkpoint was trained; "
+                         "default: auto from the checkpoint's meta sidecar)")
     from vlm_bridge_tpu.tools.loading import (
         add_model_args, apply_platform, load_from_args, mesh_from_args)
 
@@ -195,13 +200,27 @@ def main(argv=None) -> int:
     cfg, params, tokenizer = load_from_args(args)
     mesh, params = mesh_from_args(args, params)
 
+    if args.early_stop and args.exact:
+        print("[vlm-eval] --early-stop is ignored in --exact mode "
+              "(the parity decode is a fixed-length masked buffer)",
+              flush=True)
     early_stop = (not args.exact if args.early_stop is None
                   else args.early_stop and not args.exact)
+    # exact mode must mask the bridge the way the checkpoint was TRAINED:
+    # the trainer records bridge_causal in the meta sidecar (auto), an
+    # explicit --bridge-causal/--no-bridge-causal overrides
+    bridge_causal = args.bridge_causal
+    if bridge_causal is None:
+        bridge_causal = bool(
+            getattr(args, "_ckpt_meta", {}).get("bridge_causal", False))
+        if bridge_causal and args.exact:
+            print("[vlm-eval] checkpoint was trained with bridge_causal; "
+                  "exact mode uses the causal bridge mask", flush=True)
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
         temperature=args.temperature, top_p=args.top_p,
         exact=args.exact, early_stop=early_stop,
-        kv_quant=args.kv_int8)
+        kv_quant=args.kv_int8, bridge_causal=bridge_causal)
     result = evaluate_split(
         params, cfg, args.data_dir, tokenizer=tokenizer,
         split=args.split, batch_size=args.batch_size, gen=gen,

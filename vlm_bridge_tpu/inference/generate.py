@@ -328,8 +328,15 @@ def _fused_decode_available(params, cfg: VLMConfig, gen: GenerationConfig) -> bo
         # no usable stats: the CPU/interpret backends run tiny models, so
         # stacking is safe there; on a real accelerator refuse to gamble
         # an OOM (the jnp path still serves — per-layer weights exist in
-        # this branch)
+        # this branch). A stats outage can be TRANSIENT (tunnel hiccup),
+        # so log it and do NOT cache the downgrade — the next call gets a
+        # fresh probe.
         ok = jax.default_backend() not in ("tpu", "axon")
+        if not ok:
+            _log_dispatch(
+                "memory_stats() unavailable — fused decode OFF (jnp path) "
+                "for THIS call only; will re-probe on the next call")
+        return ok
     else:
         stacked_bytes = sum(
             x.nbytes for x in jax.tree.leaves(params["lm"]["layers"]))

@@ -508,7 +508,7 @@ def quantize_int4(w: jax.Array, *, axis: int = 0) -> dict:
              (q[:, : K // 2], q[:, K // 2:])
     packed = jnp.bitwise_or(
         jnp.bitwise_and(lo, 0x0F), jnp.left_shift(hi, 4)).astype(jnp.int8)
-    return {"w_int4": packed, "scale": scale}
+    return {"w_int4": packed, "scale": scale, "packing": "global"}
 
 
 def is_quantized_int4(w) -> bool:
@@ -528,6 +528,7 @@ def unpack_int4(packed: jax.Array):
 
 
 def dequantize_int4(wq: dict, *, axis: int = 0, dtype=jnp.float32) -> jax.Array:
+    assert wq.get("packing", "global") == "global", wq.get("packing")
     lo, hi = unpack_int4(wq["w_int4"])
     q = jnp.concatenate([lo, hi], axis=axis)
     return (q.astype(jnp.float32)
@@ -538,6 +539,7 @@ def dequantize_int4_blockwise(wq: dict, *, block_f: int,
                               dtype=jnp.float32) -> jax.Array:
     """Dequantize a BLOCK-LOCALLY packed [F/2, H] weight (the layout
     `repack_down_blockwise` produces and `int4_mlp` consumes)."""
+    assert wq.get("packing") == f"blockwise{block_f}", wq.get("packing")
     lo, hi = unpack_int4(wq["w_int4"])  # [F/2, H] each
     half = block_f // 2
     F2, H = lo.shape
@@ -563,6 +565,14 @@ def int4_mlp(x: jax.Array, gate_q: dict, up_q: dict, down_q: dict,
     H2, F = g_w.shape
     H = 2 * H2
     assert x.shape[1] == H and d_w.shape == (F // 2, H)
+    # the blockwise layout is shape-identical to the global one, so a
+    # wrongly-packed down projection would compute garbage silently —
+    # demand the explicit tag repack_down_blockwise stamps
+    assert down_q.get("packing") == f"blockwise{block_f}", (
+        f"int4_mlp needs down packed by repack_down_blockwise("
+        f"block_f={block_f}); got packing={down_q.get('packing')!r}")
+    assert gate_q.get("packing") == "global" and \
+        up_q.get("packing") == "global"
     if not _use_pallas() and not INTERPRET:
         g = jnp.dot(x, dequantize_int4(gate_q, dtype=x.dtype),
                     preferred_element_type=jnp.float32)
@@ -582,10 +592,6 @@ def int4_mlp(x: jax.Array, gate_q: dict, up_q: dict, down_q: dict,
     xp = jnp.pad(x, ((0, Mp - M), (0, 0)))
     nF = F // block_f
 
-    # down packing is block-local over F: row r of block j pairs with row
-    # r + block_f/2 of the SAME block -> reorder global halves to per-block
-    # halves once at quantize time would be better; done here for clarity
-    # since this runs once per params object, not per step.
     out = pl.pallas_call(
         functools.partial(_int4_mlp_kernel, n_inner=nF),
         grid=(nF,),
@@ -609,6 +615,7 @@ def int4_mlp(x: jax.Array, gate_q: dict, up_q: dict, down_q: dict,
 def repack_down_blockwise(down_q: dict, *, block_f: int = 512) -> dict:
     """Convert a globally-half-packed [F/2, H] down projection into the
     block-local packing int4_mlp expects (one-time, at quantize time)."""
+    assert down_q.get("packing", "global") == "global", down_q.get("packing")
     lo, hi = unpack_int4(down_q["w_int4"])
     q = jnp.concatenate([lo, hi], axis=0)  # [F, H] int4 values in int8
     F, H = q.shape
@@ -618,7 +625,8 @@ def repack_down_blockwise(down_q: dict, *, block_f: int = 512) -> dict:
     packed = jnp.bitwise_or(
         jnp.bitwise_and(qb[:, 0], 0x0F), jnp.left_shift(qb[:, 1], 4)
     ).astype(jnp.int8).reshape(F // 2, H)
-    return {"w_int4": packed, "scale": down_q["scale"]}
+    return {"w_int4": packed, "scale": down_q["scale"],
+            "packing": f"blockwise{block_f}"}
 
 
 def _int4_mlp_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref, ds_ref,

@@ -20,7 +20,7 @@ def add_model_args(ap) -> None:
                     help="local HF snapshot of google/gemma-2-2b")
     ap.add_argument("--tokenizer-path", default=None)
     ap.add_argument("--preset", default="default",
-                    choices=["default", "tiny", "gemma2_9b"])
+                    choices=["default", "tiny", "gemma2_9b", "gemma2_27b"])
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (CPU smoke runs)")
     ap.add_argument("--quantize", default=None,
@@ -53,7 +53,8 @@ def load_from_args(args):
     from vlm_bridge_tpu.models import full_model
 
     presets = {"default": VLMConfig.default, "tiny": VLMConfig.tiny_test,
-               "gemma2_9b": VLMConfig.gemma2_9b}
+               "gemma2_9b": VLMConfig.gemma2_9b,
+               "gemma2_27b": VLMConfig.gemma2_27b}
     cfg = presets[args.preset]()
     params = full_model.init(jax.random.key(0), cfg)
 
@@ -72,9 +73,12 @@ def load_from_args(args):
 
         p = Path(args.checkpoint)
         store = CheckpointStore(str(p.parent))
-        restored, _ = store.load(
+        restored, meta = store.load(
             p.name, template={"bridge_params": params["bridge"]})
         params["bridge"] = restored["bridge_params"]
+        # stash trainer-recorded facts (e.g. bridge_causal) for CLIs that
+        # need to match generation semantics to how the bridge was trained
+        args._ckpt_meta = meta
     if getattr(args, "quantize", None):
         parts = args.quantize.split(",")
         lm_parts = tuple(p for p in parts if p != "bridge")

@@ -79,9 +79,15 @@ def prepare_environment(
     if tokenizer is None:
         tokenizer = get_tokenizer(tc.tokenizer_path)
 
-    if tc.precache_pixels and jax.process_index() == 0:
+    if tc.precache_pixels:
         # one-time per split: after this every epoch streams a memmap
-        # instead of re-decoding every JPEG (reference data_loader.py:118)
+        # instead of re-decoding every JPEG (reference data_loader.py:118).
+        # EVERY process builds its own missing cache — TPU pod hosts have
+        # local disks, so process 0's build would not exist on hosts 1..N.
+        # On a shared filesystem concurrent builds are benign: the build
+        # goes through a temp file + atomic rename and all hosts derive
+        # identical content. Barrier before loader construction so no
+        # process attaches a half-ready view.
         from vlm_bridge_tpu.data.loader import VLDataset
         from vlm_bridge_tpu.data.pixel_cache import build_pixel_cache
 
@@ -91,6 +97,10 @@ def prepare_environment(
                 print(f"[data] building pixel cache for {split} "
                       f"({len(ds)} images)...", flush=True)
                 build_pixel_cache(ds, num_workers=tc.num_workers)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("pixel_cache_built")
 
     train_loader, val_loader, _ = get_data_loaders(
         tc.data_dir, batch_size=tc.batch_size, tokenizer=tokenizer,
@@ -145,6 +155,9 @@ def save_checkpoint(ctx: TrainingContext, epoch: int, val_loss: float,
         "val_loss": float(val_loss),
         "best_val_loss": float(ctx.best_val_loss),
         "early_stop_counter": ctx.early_stop_counter,
+        # serving needs to know which conditional was trained: exact-mode
+        # eval of a causal-trained bridge must mask causally too
+        "bridge_causal": bool(ctx.tc.bridge_causal),
     }
     ctx.store.save("latest", bridge_params=ctx.state.bridge_params,
                    opt_state=ctx.state.opt_state, meta=meta)
