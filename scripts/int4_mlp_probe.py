@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--tokens", type=int, default=20)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--block-f", type=int, default=512)
+    ap.add_argument("--group-size", type=int, default=128,
+                    help="sub-channel scale group for the group-wise int4 "
+                         "contender (must divide hidden/2 and block_f/2)")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                     help="force a JAX backend (cpu = harness smoke; the "
                          "kernels then run via the jnp fallback)")
@@ -55,6 +58,7 @@ def main():
     from vlm_bridge_tpu.ops import quant
 
     B, H, F, L = args.batch, args.hidden, args.ffn, args.layers
+    G = args.group_size
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(0, 1, (B, H)), jnp.bfloat16)
 
@@ -64,7 +68,28 @@ def main():
     # chip next to the stacks); layer 0's f32 stays for the quality bound.
     print(f"building {L} layers ({L * 3 * H * F / 2**30:.2f} G f32 "
           f"transient)...", file=sys.stderr)
-    q8, q4s, f32_0 = [], [], None
+    # quantize_int4 dicts carry static metadata ("packing", "group_size")
+    # that cannot ride through jnp.stack / lax.scan — strip to the array
+    # leaves for stacking and reattach the tags inside the scan body.
+    def arrays_only(wq):
+        return {k: v for k, v in wq.items() if isinstance(v, jax.Array)}
+
+    def quant4_layer(gate, up, down, group_size):
+        full = {"gate": quant.quantize_int4(gate, group_size=group_size),
+                "up": quant.quantize_int4(up, group_size=group_size),
+                "down": quant.repack_down_blockwise(
+                    quant.quantize_int4(down, group_size=group_size),
+                    block_f=args.block_f)}
+        return {k: arrays_only(v) for k, v in full.items()}
+
+    def tag_layer(w, group_size):
+        """Reattach the static metadata to one scan-sliced int4 layer."""
+        return (dict(w["gate"], packing="global", group_size=group_size),
+                dict(w["up"], packing="global", group_size=group_size),
+                dict(w["down"], packing=f"blockwise{args.block_f}",
+                     group_size=group_size))
+
+    q8, q4s, q4gs, f32_0 = [], [], [], None
     for i in range(L):
         r = np.random.default_rng(100 + i)
         gate = jnp.asarray(r.normal(0, 0.02, (H, F)), jnp.float32)
@@ -73,10 +98,8 @@ def main():
         q8.append({"gate": quant.quantize_int8(gate),
                    "up": quant.quantize_int8(up),
                    "down": quant.quantize_int8(down)})
-        q4s.append({"gate": quant.quantize_int4(gate),
-                    "up": quant.quantize_int4(up),
-                    "down": quant.repack_down_blockwise(
-                        quant.quantize_int4(down), block_f=args.block_f)})
+        q4s.append(quant4_layer(gate, up, down, None))
+        q4gs.append(quant4_layer(gate, up, down, G))
         if i == 0:
             f32_0 = (gate, up, down)
         del gate, up, down  # free the f32 buffers before the next layer
@@ -84,6 +107,8 @@ def main():
     del q8
     stack4 = jax.tree.map(lambda *xs: jnp.stack(xs), *q4s)
     del q4s
+    stack4g = jax.tree.map(lambda *xs: jnp.stack(xs), *q4gs)
+    del q4gs
     g0, u0, d0 = f32_0
 
     # quality bound at this shape: int4 vs f32 MLP relative output error
@@ -93,24 +118,32 @@ def main():
         return h @ d
 
     y_f32 = mlp_f32(x0, g0, u0, d0)
-    y_i4 = quant.int4_mlp(x0, *(jax.tree.map(lambda s: s[0], stack4)[k]
-                                for k in ("gate", "up", "down")),
-                          block_f=args.block_f).astype(jnp.float32)
+    y_i4 = quant.int4_mlp(
+        x0, *tag_layer(jax.tree.map(lambda s: s[0], stack4), None),
+        block_f=args.block_f).astype(jnp.float32)
+    y_i4g = quant.int4_mlp(
+        x0, *tag_layer(jax.tree.map(lambda s: s[0], stack4g), G),
+        block_f=args.block_f).astype(jnp.float32)
     y_i8 = quant.int8_mlp(x0, *(jax.tree.map(lambda s: s[0], stack8)[k]
                                 for k in ("gate", "up", "down")),
                           block_f=args.block_f).astype(jnp.float32)
     rel4 = float(jnp.linalg.norm(y_i4 - y_f32) / jnp.linalg.norm(y_f32))
+    rel4g = float(jnp.linalg.norm(y_i4g - y_f32) / jnp.linalg.norm(y_f32))
     rel8 = float(jnp.linalg.norm(y_i8 - y_f32) / jnp.linalg.norm(y_f32))
-    print(f"rel output err vs f32: int8={rel8:.4f} int4={rel4:.4f}",
-          file=sys.stderr)
+    print(f"rel output err vs f32: int8={rel8:.4f} int4={rel4:.4f} "
+          f"int4_g{G}={rel4g:.4f}", file=sys.stderr)
 
     @functools.partial(jax.jit, static_argnames=("which",))
     def run(x, stack, which):
         def token(x, _):
             def layer(x, w):
-                fn = quant.int4_mlp if which == "int4" else quant.int8_mlp
-                y = fn(x, w["gate"], w["up"], w["down"],
-                       block_f=args.block_f)
+                if which == "int8":
+                    y = quant.int8_mlp(x, w["gate"], w["up"], w["down"],
+                                       block_f=args.block_f)
+                else:
+                    gs = G if which == "int4_group" else None
+                    y = quant.int4_mlp(x, *tag_layer(w, gs),
+                                       block_f=args.block_f)
                 # residual keeps magnitudes bounded over L*T iterations
                 return (x + 0.01 * y).astype(x.dtype), None
             x, _ = jax.lax.scan(layer, x, stack)
@@ -118,15 +151,17 @@ def main():
         x, _ = jax.lax.scan(token, x, None, length=args.tokens)
         return x
 
-    for which, stack in (("int8", stack8), ("int4", stack4)):
+    variants = (("int8", stack8), ("int4", stack4),
+                ("int4_group", stack4g))
+    for which, stack in variants:
         t0 = time.time()
         np.asarray(run(x0, stack, which))
         print(f"{which} compile+warm {time.time() - t0:.0f}s",
               file=sys.stderr)
 
-    times = {"int8": [], "int4": []}
+    times = {which: [] for which, _ in variants}
     for rep in range(args.reps):
-        for which, stack in (("int8", stack8), ("int4", stack4)):
+        for which, stack in variants:
             t0 = time.time()
             np.asarray(run(x0, stack, which))
             times[which].append(time.time() - t0)
@@ -136,6 +171,7 @@ def main():
 
     med8 = float(np.median(times["int8"])) / args.tokens
     med4 = float(np.median(times["int4"])) / args.tokens
+    med4g = float(np.median(times["int4_group"])) / args.tokens
     result = {
         "metric": "int4_mlp_speedup_vs_int8",
         "value": med8 / med4,
@@ -144,13 +180,22 @@ def main():
         "tokens": args.tokens, "reps": args.reps, "block_f": args.block_f,
         "int8_ms_per_token": med8 * 1e3,
         "int4_ms_per_token": med4 * 1e3,
+        "int4_group_ms_per_token": med4g * 1e3,
+        "int4_group_speedup_vs_int8": med8 / med4g,
+        "group_size": G,
         "rel_err_int8_vs_f32": rel8,
         "rel_err_int4_vs_f32": rel4,
+        "rel_err_int4_group_vs_f32": rel4g,
         "accept_threshold": 1.25,
         "accepted": med8 / med4 >= 1.25,
+        "accepted_group": med8 / med4g >= 1.25,
         "device": str(jax.devices()[0]),
         "note": ("per-'token' time = one 26-layer MLP weight stream; "
-                 "byte ratio is 2x on the MLP stream, accept >= 1.25x"),
+                 "byte ratio is 2x on the MLP stream, accept >= 1.25x; "
+                 "int4_group adds sub-channel scales (quality) at the cost "
+                 "of per-group dots — serving integration would pick it "
+                 "only if BOTH accepted_group and real-weight quality "
+                 "hold"),
     }
     print(json.dumps(result))
     if args.output:

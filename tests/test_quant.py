@@ -387,3 +387,109 @@ def test_int4_mlp_fallback_and_kernel_match():
             atol=5e-3, rtol=2e-2)
     finally:
         quant.INTERPRET = False
+
+
+def test_int4_groupwise_roundtrip_and_scale_shape():
+    from vlm_bridge_tpu.ops import quant as q4
+
+    rng = np.random.default_rng(12)
+    K, N, g = 256, 64, 32
+    w = jnp.asarray(rng.normal(0, 0.1, (K, N)), jnp.float32)
+    wq = q4.quantize_int4(w, axis=0, group_size=g)
+    assert wq["scale"].shape == (K // g, N)
+    assert wq["group_size"] == g
+    deq = np.asarray(q4.dequantize_int4(wq, axis=0))
+    # per-element error <= that element's GROUP scale / 2
+    srows = np.repeat(np.asarray(wq["scale"]), g, axis=0)
+    assert (np.abs(deq - np.asarray(w)) <= srows / 2 + 1e-7).all()
+
+
+def test_int4_groupwise_contains_outliers():
+    """The reason group-wise exists: one outlier weight inflates the whole
+    column's scale per-channel, but only its own group's with group_size.
+    This is the offline stand-in for the real-weight quality check (Gemma-2
+    MLP weights have per-channel outliers, like every trained LLM)."""
+    from vlm_bridge_tpu.ops import quant as q4
+
+    rng = np.random.default_rng(13)
+    K, N = 512, 128
+    w = rng.normal(0, 0.02, (K, N)).astype(np.float32)
+    w[7, :] += np.sign(rng.normal(size=N)) * 0.4  # 20-sigma outlier row
+    wj = jnp.asarray(w)
+
+    def rel_err(wq):
+        d = np.asarray(q4.dequantize_int4(wq, axis=0))
+        return np.linalg.norm(d - w) / np.linalg.norm(w)
+
+    e_chan = rel_err(q4.quantize_int4(wj, axis=0))
+    e_grp = rel_err(q4.quantize_int4(wj, axis=0, group_size=64))
+    # outlier sits in one 64-row group: 7/8 of rows quantize at the clean
+    # scale, so the error must drop by a large factor, not a rounding hair
+    assert e_grp < 0.5 * e_chan, (e_chan, e_grp)
+
+
+def test_int4_groupwise_blockwise_repack_consistent():
+    from vlm_bridge_tpu.ops import quant as q4
+
+    rng = np.random.default_rng(14)
+    w = jnp.asarray(rng.normal(0, 0.1, (1024, 64)), jnp.float32)
+    wq = q4.quantize_int4(w, axis=0, group_size=128)
+    blk = q4.repack_down_blockwise(wq, block_f=512)
+    assert blk["group_size"] == 128
+    np.testing.assert_array_equal(
+        np.asarray(q4.dequantize_int4(wq, axis=0)),
+        np.asarray(q4.dequantize_int4_blockwise(blk, block_f=512)))
+
+
+@pytest.mark.parametrize("group", [64, 128])
+def test_int4_mlp_groupwise_fallback_and_kernel_match(group):
+    from vlm_bridge_tpu.ops import quant as q4
+
+    rng = np.random.default_rng(15)
+    H, F, block_f = 256, 2048, 512
+    x = jnp.asarray(rng.normal(0, 1, (4, H)), jnp.float32)
+    gate = q4.quantize_int4(
+        jnp.asarray(rng.normal(0, 0.1, (H, F)), jnp.float32),
+        axis=0, group_size=group)
+    up = q4.quantize_int4(
+        jnp.asarray(rng.normal(0, 0.1, (H, F)), jnp.float32),
+        axis=0, group_size=group)
+    down = q4.repack_down_blockwise(q4.quantize_int4(
+        jnp.asarray(rng.normal(0, 0.1, (F, H)), jnp.float32),
+        axis=0, group_size=group), block_f=block_f)
+
+    def ref(x, round_h=False):
+        g = x @ q4.dequantize_int4(gate, axis=0)
+        u = x @ q4.dequantize_int4(up, axis=0)
+        h = jax.nn.gelu(g, approximate=True) * u
+        if round_h:
+            h = _bf16(h)
+        return h @ q4.dequantize_int4_blockwise(down, block_f=block_f)
+
+    got = np.asarray(q4.int4_mlp(x, gate, up, down, block_f=block_f))
+    np.testing.assert_allclose(got, np.asarray(ref(x)), atol=2e-4, rtol=2e-3)
+
+    quant.INTERPRET = True
+    try:
+        got_k = np.asarray(q4.int4_mlp(x, gate, up, down, block_f=block_f))
+        np.testing.assert_allclose(
+            got_k, np.asarray(ref(_bf16(x), round_h=True)),
+            atol=5e-3, rtol=2e-2)
+    finally:
+        quant.INTERPRET = False
+
+
+def test_int4_mlp_rejects_mixed_group_sizes():
+    from vlm_bridge_tpu.ops import quant as q4
+
+    rng = np.random.default_rng(16)
+    H, F, block_f = 256, 2048, 512
+    x = jnp.asarray(rng.normal(0, 1, (4, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.1, (H, F)), jnp.float32)
+    gate = q4.quantize_int4(w, axis=0, group_size=128)
+    up = q4.quantize_int4(w, axis=0)  # per-channel — mismatched
+    down = q4.repack_down_blockwise(q4.quantize_int4(
+        jnp.asarray(rng.normal(0, 0.1, (F, H)), jnp.float32),
+        axis=0, group_size=128), block_f=block_f)
+    with pytest.raises(AssertionError, match="group_size"):
+        q4.int4_mlp(x, gate, up, down, block_f=block_f)
