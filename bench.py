@@ -64,11 +64,28 @@ def wait_for_backend(platform: str | None) -> dict:
                 [sys.executable, "-c", code], capture_output=True,
                 text=True, timeout=probe_timeout)
             if r.returncode == 0:
-                return {"ok": True, "attempts": attempt,
-                        "wait_s": time.time() - t_start,
-                        "probe": r.stdout.strip()}
-            lines = (r.stderr or "").strip().splitlines()
-            err = lines[-1][:300] if lines else f"probe rc={r.returncode}"
+                # rc=0 is not enough: when the TPU plugin fails to init,
+                # jax WARNS and silently falls back to CPU — an unattended
+                # capture run would then commit CPU throughput under a
+                # chip metric. The probed backend must match what was
+                # asked for (or at least be a non-cpu accelerator when no
+                # platform was forced).
+                probed = (r.stdout.split() or ["?"])[0].lower()
+                expect = (platform or "").lower()
+                if expect:
+                    backend_ok = probed == expect
+                else:
+                    backend_ok = probed != "cpu"
+                if backend_ok:
+                    return {"ok": True, "attempts": attempt,
+                            "wait_s": time.time() - t_start,
+                            "probe": r.stdout.strip()}
+                err = (f"probe initialized backend {probed!r}, expected "
+                       f"{expect or 'a non-cpu accelerator'} "
+                       "(silent CPU fallback)")
+            else:
+                lines = (r.stderr or "").strip().splitlines()
+                err = lines[-1][:300] if lines else f"probe rc={r.returncode}"
         except subprocess.TimeoutExpired:
             err = f"backend init hung > {probe_timeout:.0f}s (tunnel down)"
         remaining = deadline - time.time()
@@ -84,14 +101,27 @@ def wait_for_backend(platform: str | None) -> dict:
         delay = min(delay * 1.7, 120.0)
 
 
+def is_decode_only(args) -> bool:
+    """Single source of truth for which headline a run reports: the train
+    number wins whenever training runs; the 9B preset forces skip_train
+    (run() applies the same rule before benching)."""
+    return bool(getattr(args, "skip_train", False) or
+                getattr(args, "preset", "") == "gemma2_9b")
+
+
+def headline_metric(decode_only: bool) -> tuple[str, str]:
+    """(metric, unit) for the headline JSON line — shared by run() and
+    emit_error_json so a failed run's artifact can't drift from the name a
+    successful one would have carried."""
+    if decode_only:
+        return "decode_captions_per_sec_chip", "captions/s"
+    return "bridge_train_samples_per_sec_chip", "samples/s"
+
+
 def emit_error_json(args, msg: str, **extras) -> None:
     """The standard one-line bench JSON, with an error field and null value,
     so a failed round still leaves a parseable artifact."""
-    decode_only = getattr(args, "skip_train", False) or \
-        getattr(args, "preset", "") == "gemma2_9b"
-    metric = ("decode_captions_per_sec_chip" if decode_only
-              else "bridge_train_samples_per_sec_chip")
-    unit = "captions/s" if decode_only else "samples/s"
+    metric, unit = headline_metric(is_decode_only(args))
     print(json.dumps({"metric": metric, "value": None, "unit": unit,
                       "vs_baseline": None, "error": msg[:600], **extras}))
 
@@ -484,12 +514,10 @@ def run(args):
             raise SystemExit(
                 "nothing benchmarked (--skip-train with --skip-decode)")
         value = extras["decode_captions_per_sec_per_chip"]
-        metric = "decode_captions_per_sec_chip"
-        unit = "captions/s"
+        metric, unit = headline_metric(True)
         vs = value / RTX4080_CAPTIONS_PER_SEC
     else:
-        metric = "bridge_train_samples_per_sec_chip"
-        unit = "samples/s"
+        metric, unit = headline_metric(False)
         vs = value / A100_BS8_SAMPLES_PER_SEC
 
     print(json.dumps({

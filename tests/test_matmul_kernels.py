@@ -69,3 +69,33 @@ def test_encoder_path_dispatches_and_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(base, np.float32), np.asarray(fused, np.float32),
         rtol=0.08, atol=0.15)
+
+
+def test_default_blocks_resolve_at_call_time(monkeypatch):
+    """Probe scripts retune DEFAULT_BLOCK_M/N by mutating the module attrs
+    (scripts/encoder_mm_ab.py --block-m/--block-n); the wrapper must read
+    them per call, not bind them at def time, or the full-encode A/B
+    silently measures the stock blocks under the retuned label."""
+    seen = {}
+    real = mk._tiled_matmul_jit
+
+    def spy(a, b, bias=None, *, block_m, block_n, **kw):
+        seen["blocks"] = (block_m, block_n)
+        return real(a, b, bias, block_m=block_m, block_n=block_n, **kw)
+
+    monkeypatch.setattr(mk, "_tiled_matmul_jit", spy)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(64, 32)), jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(32, 64)), jnp.bfloat16)
+
+    monkeypatch.setattr(mk, "DEFAULT_BLOCK_M", 64)
+    monkeypatch.setattr(mk, "DEFAULT_BLOCK_N", 64)
+    mk.tiled_matmul(a, b)
+    assert seen["blocks"] == (64, 64)
+
+    monkeypatch.setattr(mk, "DEFAULT_BLOCK_M", 32)
+    mk.tiled_matmul(a, b)
+    assert seen["blocks"] == (32, 64)
+
+    mk.tiled_matmul(a, b, block_m=16, block_n=16)  # explicit args still win
+    assert seen["blocks"] == (16, 16)

@@ -88,21 +88,30 @@ def build_pixel_cache(dataset, *, num_workers: int = 4,
     meta_p.unlink(missing_ok=True)  # invalidate any previous cache first
     # build into a temp file + atomic rename: truncating the live .npy in
     # place would SIGBUS (or feed half-written rows to) any process that
-    # already attached a memmap over the old inode
-    tmp = root / (CACHE_NAME + ".tmp")
-    out = np.lib.format.open_memmap(
-        tmp, mode="w+", dtype=np.uint8, shape=(len(samples), crop, crop, 3))
+    # already attached a memmap over the old inode. The temp name is unique
+    # per builder (pid) so concurrent builds — two hosts on a shared
+    # filesystem, or two jobs started together — each rename their OWN file
+    # instead of racing on one path (a shared name made the loser's
+    # os.replace hit ENOENT after the winner renamed it away); both write
+    # identical bytes, so last-rename-wins is benign.
+    tmp = root / f"{CACHE_NAME}.tmp.{os.getpid()}"
+    try:
+        out = np.lib.format.open_memmap(
+            tmp, mode="w+", dtype=np.uint8,
+            shape=(len(samples), crop, crop, 3))
 
-    def _one(i: int) -> None:
-        out[i] = dataset.decode_image(i)
+        def _one(i: int) -> None:
+            out[i] = dataset.decode_image(i)
 
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for k, _ in enumerate(pool.map(_one, range(len(samples)))):
-            if verbose and (k + 1) % 2000 == 0:
-                print(f"  precached {k + 1}/{len(samples)}", flush=True)
-    out.flush()
-    del out
-    os.replace(tmp, npy)
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for k, _ in enumerate(pool.map(_one, range(len(samples)))):
+                if verbose and (k + 1) % 2000 == 0:
+                    print(f"  precached {k + 1}/{len(samples)}", flush=True)
+        out.flush()
+        del out
+        os.replace(tmp, npy)
+    finally:
+        tmp.unlink(missing_ok=True)  # failed build: no orphaned GBs
     meta_p.write_text(json.dumps({
         "n": len(samples), "crop": crop,
         "fingerprint": manifest_fingerprint(root, samples),

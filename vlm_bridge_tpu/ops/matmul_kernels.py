@@ -65,23 +65,16 @@ def _gelu_exact_f32(x):
 @functools.partial(
     jax.jit,
     static_argnames=("block_m", "block_n", "gelu", "out_dtype"))
-def tiled_matmul(
+def _tiled_matmul_jit(
     a: jax.Array,
     b: jax.Array,
     bias: jax.Array | None = None,
     *,
-    block_m: int = DEFAULT_BLOCK_M,
-    block_n: int = DEFAULT_BLOCK_N,
+    block_m: int,
+    block_n: int,
     gelu: bool = False,
     out_dtype=None,
 ) -> jax.Array:
-    """[M, K] @ [K, N] (+ bias [N]) (+ exact GELU) -> [M, N].
-
-    The full K contraction runs inside one program; grid is
-    (ceil(M/block_m), ceil(N/block_n)). M and N need not divide the blocks
-    (Mosaic masks the ragged edge); K must fit VMEM (K*block_m*2 bytes for
-    the A tile — fine through K=8192 at the default block_m).
-    """
     M, K = a.shape
     K2, N = b.shape
     assert K == K2, (a.shape, b.shape)
@@ -118,6 +111,37 @@ def tiled_matmul(
             dimension_semantics=("parallel", "parallel")),
         interpret=INTERPRET,
     )(a, b)
+
+
+def tiled_matmul(
+    a: jax.Array,
+    b: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    gelu: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """[M, K] @ [K, N] (+ bias [N]) (+ exact GELU) -> [M, N].
+
+    The full K contraction runs inside one program; grid is
+    (ceil(M/block_m), ceil(N/block_n)). M and N need not divide the blocks
+    (Mosaic masks the ragged edge); K must fit VMEM (K*block_m*2 bytes for
+    the A tile — fine through K=8192 at the default block_m).
+
+    block_m/block_n default to the module-level DEFAULT_BLOCK_M/N, read at
+    CALL time (this wrapper, not the jitted inner, resolves them) so probe
+    scripts can retune the dispatch defaults by mutating the module
+    attributes and every downstream caller — including dinov2's projections,
+    which pass no block args — picks them up.
+    """
+    if block_m is None:
+        block_m = DEFAULT_BLOCK_M
+    if block_n is None:
+        block_n = DEFAULT_BLOCK_N
+    return _tiled_matmul_jit(a, b, bias, block_m=block_m, block_n=block_n,
+                             gelu=gelu, out_dtype=out_dtype)
 
 
 def vit_mm_mode() -> str:

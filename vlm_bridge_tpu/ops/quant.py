@@ -552,7 +552,7 @@ def unpack_int4(packed: jax.Array):
     return lo, hi
 
 
-def _scale_rows(wq: dict, K: int) -> jax.Array:
+def _scale_rows(wq: dict) -> jax.Array:
     """The [K, N]-broadcastable f32 scale for an axis=0-quantized weight,
     expanding group-wise [K/g, N] scales to full rows when present."""
     g = wq.get("group_size")
@@ -565,7 +565,7 @@ def dequantize_int4(wq: dict, *, axis: int = 0, dtype=jnp.float32) -> jax.Array:
     lo, hi = unpack_int4(wq["w_int4"])
     q = jnp.concatenate([lo, hi], axis=axis)
     if axis == 0:
-        scale = _scale_rows(wq, q.shape[0])
+        scale = _scale_rows(wq)
     else:
         scale = jnp.expand_dims(wq["scale"], axis)
     return (q.astype(jnp.float32) * scale).astype(dtype)
@@ -582,7 +582,7 @@ def dequantize_int4_blockwise(wq: dict, *, block_f: int,
     nB = F2 // half
     q = jnp.stack([lo.reshape(nB, half, H), hi.reshape(nB, half, H)],
                   axis=1).reshape(2 * F2, H)
-    return (q.astype(jnp.float32) * _scale_rows(wq, 2 * F2)).astype(dtype)
+    return (q.astype(jnp.float32) * _scale_rows(wq)).astype(dtype)
 
 
 def int4_mlp(x: jax.Array, gate_q: dict, up_q: dict, down_q: dict,
