@@ -177,7 +177,8 @@ def bench_train(cfg, tc, batch_size, seq_len, steps, warmup=2):
     }
 
 
-def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False):
+def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False,
+                             mlp_int4=False):
     """Capacity path (gemma2_9b): build the int8 serving params WITHOUT the
     full 18.4 GB bf16 model ever existing on the 16 GB chip (or taking tens
     of single-core minutes on the host).
@@ -243,7 +244,7 @@ def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False):
         # the sliding window) — stacking weights the kernel can never
         # serve would strand generate_tokens without per-layer weights.
         lm["stacked_decode"] = gemma2.stack_decode_params(
-            lm, cfg.lm, free_layers=True)
+            lm, cfg.lm, free_layers=True, mlp_int4=mlp_int4)
         del lm["layers"]
     params = {"vision": vision, "lm": lm, "bridge": bridge_p}
     jax.block_until_ready(params)
@@ -253,7 +254,8 @@ def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False):
 
 
 def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
-                 bypass_bridge=False, kv_quant=False, host_init=False):
+                 bypass_bridge=False, kv_quant=False, host_init=False,
+                 mlp_int4=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -288,7 +290,8 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
             # on the fallback path force_jnp keeps per-layer weights so the
             # jnp decode path can serve
             return _stream_quantized_params(cfg, quantize, max_length,
-                                            force_jnp=force_jnp)
+                                            force_jnp=force_jnp,
+                                            mlp_int4=mlp_int4)
         params = quantize_tree(full_model.init(jax.random.key(0), cfg))
         # a serving deployment stacks the decode weights ONCE, not per
         # batch — pre-stack here (freeing the per-layer copies) whenever
@@ -305,7 +308,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
                 and gemma2.supports_fused_decode(
                     params["lm"], cfg.lm, max_length + 1)):
             params["lm"]["stacked_decode"] = gemma2.stack_decode_params(
-                params["lm"], cfg.lm, free_layers=True)
+                params["lm"], cfg.lm, free_layers=True, mlp_int4=mlp_int4)
             del params["lm"]["layers"]
         return params
 
@@ -315,7 +318,8 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         rng.normal(0, 1, (batch_size, cfg.image_size, cfg.image_size, 3)),
         jnp.bfloat16)
     gen = GenerationConfig(max_length=max_length, greedy=True,
-                           bypass_bridge=bypass_bridge, kv_quant=kv_quant)
+                           bypass_bridge=bypass_bridge, kv_quant=kv_quant,
+                           mlp_int4=mlp_int4)
 
     # warmup/compile (np.asarray = real completion fence on axon). If the
     # fused Pallas path fails to compile (Mosaic regressions are shape-
@@ -373,6 +377,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         "decode_batch_time_s": dt,
         "decode_batch_latency_s": lat,
         "decode_fused_fallback": fused_fallback,
+        "decode_mlp_int4": mlp_int4,
     }
 
 
@@ -409,6 +414,14 @@ def main():
                          "attention algebra). Default on: measured 145.2 "
                          "vs 144.0 captions/s same-window at 2B batch 64, "
                          "and it carries the 9B capacity story")
+    ap.add_argument("--mlp-int4", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="nibble-packed int4 Gemma MLP weights in the "
+                         "fused-stack decode (group-128 sub-channel "
+                         "scales) — halves the decode loop's largest "
+                         "weight stream. Perf experiment: serving adoption "
+                         "additionally needs the real-weight quality gate "
+                         "(scripts/int4_mlp_probe.py, PARITY.md)")
     ap.add_argument("--host-init", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="build int8 params via the layer-streamed "
@@ -504,7 +517,8 @@ def run(args):
                                    quantize=args.quantize or None,
                                    bypass_bridge=args.bypass_bridge,
                                    kv_quant=args.kv_int8,
-                                   host_init=host_init))
+                                   host_init=host_init,
+                                   mlp_int4=args.mlp_int4))
         extras["decode_vs_baseline"] = (
             extras["decode_captions_per_sec_per_chip"] / RTX4080_CAPTIONS_PER_SEC)
 

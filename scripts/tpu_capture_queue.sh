@@ -13,6 +13,7 @@
 #   5. end-to-end vlm-eval on a synthetic test split, serving recipe
 #   6. early-stop decode bound (while_loop overhead + short-scan projection)
 #   7. int4 nibble-packed MLP vs int8 same-trace A/B at the decode shape
+#   8. int4 whole-stack decode A/B (generate end-to-end, same process)
 set -u
 cd "$(dirname "$0")/.."
 PERF="${1:-perf}"
@@ -60,5 +61,9 @@ timeout 1800 python scripts/early_stop_ab.py --batch 64 --len 50 \
 echo "== 7. int4 MLP probe (nibble-packed weights vs int8, decode shape) =="
 timeout 1800 python scripts/int4_mlp_probe.py \
     --output "$PERF/int4_mlp_probe.json"
+
+echo "== 8. int4 whole-stack decode A/B (int8 vs int4 MLP, same process) =="
+timeout 2400 python scripts/int4_stack_ab.py --batch 64 --len 50 \
+    --output "$PERF/int4_stack_ab.json"
 
 echo "== queue done ($STAMP) — commit the $PERF artifacts =="

@@ -72,6 +72,18 @@ class GenerationConfig:
                                   # TrainingConfig.bridge_causal. The fast
                                   # cached path is inherently causal and
                                   # ignores this.
+    mlp_int4: bool = False        # fused-stack decode only: re-quantize the
+                                  # Gemma MLP weights to nibble-packed int4
+                                  # (group-wise scales, ops/quant) when
+                                  # stacking — halves the decode loop's
+                                  # largest weight stream. Ignored when the
+                                  # params arrive pre-stacked
+                                  # (lm["stacked_decode"] fixes the layout at
+                                  # build time). Opt-in: int4 quality needs
+                                  # the real-weight check (PARITY.md).
+    mlp_int4_group: Optional[int] = 128  # sub-channel scale group for
+                                  # mlp_int4 (None = per-channel scales,
+                                  # cheaper but ~4x the quantization error)
 
 
 # ---------------------------------------------------------------------------
@@ -408,7 +420,9 @@ def _generate_fast(
     if use_fused:
         stacked = params["lm"].get("stacked_decode")
         if stacked is None:
-            stacked = gemma2.stack_decode_params(params["lm"], lm_cfg)
+            stacked = gemma2.stack_decode_params(
+                params["lm"], lm_cfg, mlp_int4=gen.mlp_int4,
+                mlp_int4_group=gen.mlp_int4_group)
         kv_cache = gemma2.StackedKVCache.zeros(lm_cfg, B, L)
     else:
         kv_cache = gemma2.KVCache.zeros(

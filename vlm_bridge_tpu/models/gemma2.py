@@ -205,7 +205,9 @@ class StackedKVCache(NamedTuple):
 
 
 def stack_decode_params(params: dict, cfg: Gemma2Config,
-                        free_layers: bool = False) -> dict:
+                        free_layers: bool = False,
+                        mlp_int4: bool = False,
+                        mlp_int4_group: Optional[int] = 128) -> dict:
     """Layer-stack the int8 decoder weights for fused_stack_step.
 
     Input layers must be fully int8 (supports_fused_decode). Done once per
@@ -218,7 +220,18 @@ def stack_decode_params(params: dict, cfg: Gemma2Config,
     `params["lm"]["layers"]`). This bounds peak device memory at
     int8-model + one stacked field, which is what lets the 9B stack
     (8.4 GB of layers) convert on a 16 GB chip — a plain copy would need
-    2x the model."""
+    2x the model.
+
+    mlp_int4=True re-quantizes the MLP weights to nibble-packed int4
+    (ops/quant.quantize_int4, group_size=mlp_int4_group; None = per-output-
+    channel scales) in the layout fused_stack_step's int4 MLP stage
+    consumes — halving the decode loop's largest weight stream. The down
+    projection is block-locally packed at the kernel's own MLP chunk width
+    (decode_kernels.stack_mlp_block_f), which is what makes the in-kernel
+    unpack pure bitwise ops + contiguous activation slices. Quality: int4
+    is a measured ~6x coarser grid than int8 even with group scales —
+    opt-in for serving only after a real-weight quality check
+    (scripts/int4_mlp_probe.py records the error figures)."""
     L = cfg.num_layers
     lps = [params["layers"][str(i)] for i in range(L)]
 
@@ -259,15 +272,62 @@ def stack_decode_params(params: dict, cfg: Gemma2Config,
         lp["post_attn_norm"].astype(jnp.float32),
         lp["pre_ffn_norm"].astype(jnp.float32),
         lp["post_ffn_norm"].astype(jnp.float32)]))
-    out["gate"] = stk(lambda lp: lp["mlp"]["gate"]["w_int8"])
-    out["up"] = stk(lambda lp: lp["mlp"]["up"]["w_int8"])
-    out["gu_scale"] = stk(lambda lp: jnp.stack([
-        lp["mlp"]["gate"]["scale"].astype(jnp.float32),
-        lp["mlp"]["up"]["scale"].astype(jnp.float32)]))
+    if not mlp_int4:
+        out["gate"] = stk(lambda lp: lp["mlp"]["gate"]["w_int8"])
+        out["up"] = stk(lambda lp: lp["mlp"]["up"]["w_int8"])
+        out["gu_scale"] = stk(lambda lp: jnp.stack([
+            lp["mlp"]["gate"]["scale"].astype(jnp.float32),
+            lp["mlp"]["up"]["scale"].astype(jnp.float32)]))
+        drop(("mlp", "gate"), ("mlp", "up"))
+        out["down"] = stk(lambda lp: lp["mlp"]["down"]["w_int8"])
+        out["down_scale"] = stk(
+            lambda lp: lp["mlp"]["down"]["scale"].astype(jnp.float32)[None])
+        drop(("mlp", "down"))
+        return out
+
+    from vlm_bridge_tpu.ops import decode_kernels as dk
+    from vlm_bridge_tpu.ops import quant
+
+    g = mlp_int4_group
+    block_f = dk.stack_mlp_block_f(cfg.intermediate_size)
+
+    def deq(w):
+        # serving params arrive int8-quantized; int8 values are exact in
+        # f32, so the int4 grid is built from the int8 reconstruction
+        # (indistinguishable from bf16 at int4 step sizes). Raw bf16/f32
+        # weights pass straight through.
+        return (quant.dequantize(w, axis=0)
+                if quant.is_quantized(w) else jnp.asarray(w, jnp.float32))
+
+    gate_qs = [quant.quantize_int4(deq(lp["mlp"]["gate"]), group_size=g)
+               for lp in lps]
+    up_qs = [quant.quantize_int4(deq(lp["mlp"]["up"]), group_size=g)
+             for lp in lps]
+    out["gate4"] = jnp.stack([q["w_int4"] for q in gate_qs])
+    out["up4"] = jnp.stack([q["w_int4"] for q in up_qs])
+    if g is None:
+        # [L, 2, F]: row 0 gate, row 1 up (same layout as int8 gu_scale)
+        out["gu_scale4"] = jnp.stack([
+            jnp.stack([gq["scale"], uq["scale"]])
+            for gq, uq in zip(gate_qs, up_qs)])
+    else:
+        # [L, 2*(H/g), F]: gate's H/g group rows then up's — the kernel
+        # recovers g from this shape (no static metadata in the pytree)
+        out["gu_scale4"] = jnp.stack([
+            jnp.concatenate([gq["scale"], uq["scale"]], axis=0)
+            for gq, uq in zip(gate_qs, up_qs)])
+    del gate_qs, up_qs
     drop(("mlp", "gate"), ("mlp", "up"))
-    out["down"] = stk(lambda lp: lp["mlp"]["down"]["w_int8"])
-    out["down_scale"] = stk(
-        lambda lp: lp["mlp"]["down"]["scale"].astype(jnp.float32)[None])
+
+    down_qs = [quant.repack_down_blockwise(
+                   quant.quantize_int4(deq(lp["mlp"]["down"]), group_size=g),
+                   block_f=block_f)
+               for lp in lps]
+    out["down4"] = jnp.stack([q["w_int4"] for q in down_qs])
+    # [L, 1, H] per-channel / [L, F/g, H] grouped
+    out["down_scale4"] = jnp.stack([
+        q["scale"][None] if g is None else q["scale"] for q in down_qs])
+    del down_qs
     drop(("mlp", "down"))
     return out
 

@@ -359,6 +359,8 @@ def _stack_kernel(
     attn_scale: float,
     softcap: float,
     eps: float,
+    mlp4: bool = False,
+    mlp4_group: int | None = None,
 ):
     """Whole-stack decode step: grid (L, n_q + n_kv + 1 + n_o + n_f).
 
@@ -562,20 +564,114 @@ def _stack_kernel(
                            eps).astype(jnp.bfloat16)
 
         x = hb[...]
-        g = jax.lax.dot_general(
-            x, g_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * gus_ref[0, 0][None, :]
-        u = jax.lax.dot_general(
-            x, u_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * gus_ref[0, 1][None, :]
-        hf = (jax.nn.gelu(g, approximate=True) * u).astype(jnp.bfloat16)
-        acc[...] += jax.lax.dot_general(
-            hf, d_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if not mlp4:
+            g = jax.lax.dot_general(
+                x, g_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * gus_ref[0, 0][None, :]
+            u = jax.lax.dot_general(
+                x, u_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * gus_ref[0, 1][None, :]
+            hf = (jax.nn.gelu(g, approximate=True) * u).astype(jnp.bfloat16)
+            acc[...] += jax.lax.dot_general(
+                hf, d_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            # int4 MLP: gate/up nibble-packed over the H contraction
+            # ([H/2, Fb] tiles, lo nibble = rows 0..H/2, hi = H/2..H —
+            # quant.quantize_int4), down packed BLOCK-LOCALLY over F
+            # (quant.repack_down_blockwise at this kernel's block_f), so
+            # every unpack is bitwise ops + CONTIGUOUS activation slices.
+            # Halves the MLP stream (1.66 GB -> 0.83 at 2B).
+            from vlm_bridge_tpu.ops.quant import unpack_int4
+
+            H2 = H // 2
+            block_f4 = g_ref.shape[2]
+            F2b = d_ref.shape[1]
+
+            def _unpack4(p):
+                lo, hi = unpack_int4(p)
+                return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+
+            g_lo, g_hi = _unpack4(g_ref[0])
+            u_lo, u_hi = _unpack4(u_ref[0])
+            d_lo, d_hi = _unpack4(d_ref[0])
+            if mlp4_group is None:
+                # per-channel scales fold into one output multiply
+                g = (jax.lax.dot_general(
+                        x[:, :H2], g_lo, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        x[:, H2:], g_hi, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     ) * gus_ref[0, 0][None, :]
+                u = (jax.lax.dot_general(
+                        x[:, :H2], u_lo, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        x[:, H2:], u_hi, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     ) * gus_ref[0, 1][None, :]
+                hf = (jax.nn.gelu(g, approximate=True) * u
+                      ).astype(jnp.bfloat16)
+                acc[...] += jax.lax.dot_general(
+                    hf[:, :F2b], d_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc[...] += jax.lax.dot_general(
+                    hf[:, F2b:], d_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                # sub-channel (group-wise) scales vary along the
+                # CONTRACTION axis, so each g-row group gets its own dot
+                # and a VPU multiply on its partial product (the
+                # _int4_mlp_group_kernel design — statically unrolled
+                # STATIC slices, no reshapes/gathers). gus_ref rows:
+                # gate lo 0..nG, gate hi nG..2nG, up lo 2nG..3nG, up hi
+                # 3nG..4nG (stack_decode_params packs them that way).
+                grp4 = mlp4_group
+                nG = H2 // grp4
+                nGd = F2b // grp4
+
+                def grouped(lo, hi, row0):
+                    r = jnp.zeros((B, block_f4), jnp.float32)
+                    for gi in range(nG):
+                        sl = slice(gi * grp4, (gi + 1) * grp4)
+                        r += jax.lax.dot_general(
+                            x[:, sl], lo[sl], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                        ) * gus_ref[0, row0 + gi][None, :]
+                        r += jax.lax.dot_general(
+                            x[:, H2 + gi * grp4:H2 + (gi + 1) * grp4],
+                            hi[sl], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                        ) * gus_ref[0, row0 + nG + gi][None, :]
+                    return r
+
+                g = grouped(g_lo, g_hi, 0)
+                u = grouped(u_lo, u_hi, 2 * nG)
+                hf = (jax.nn.gelu(g, approximate=True) * u
+                      ).astype(jnp.bfloat16)
+                # ds_ref rows: this block's lo-half F-groups 0..nGd, hi
+                # half nGd..2nGd (repack_down_blockwise block-local halves)
+                for gi in range(nGd):
+                    sl = slice(gi * grp4, (gi + 1) * grp4)
+                    acc[...] += jax.lax.dot_general(
+                        hf[:, sl], d_lo[sl], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ) * ds_ref[0, gi][None, :]
+                    acc[...] += jax.lax.dot_general(
+                        hf[:, F2b + gi * grp4:F2b + (gi + 1) * grp4],
+                        d_hi[sl], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ) * ds_ref[0, nGd + gi][None, :]
 
         @pl.when(j == SF0 + n_f - 1)
         def _mlp_finish():
-            y = acc[...] * ds_ref[0, 0][None, :]
+            # group-wise int4 applies its scales during accumulation;
+            # every other path folds one per-output-channel row here
+            if mlp4 and mlp4_group is not None:
+                y = acc[...]
+            else:
+                y = acc[...] * ds_ref[0, 0][None, :]
             x_scr[...] = x_scr[...] + _rms(y, norms_ref[0, 3][None, :], eps)
 
             @pl.when(i == num_layers - 1)
@@ -595,6 +691,16 @@ def _pick_block(total: int, target: int, mult: int) -> int:
         if total % cand == 0:
             return cand
     return total
+
+
+def stack_mlp_block_f(F: int, block_f: int = 2304) -> int:
+    """The MLP chunk width fused_stack_step will use for intermediate size
+    F (env override + alignment snapping included). Exposed so
+    gemma2.stack_decode_params can block-locally nibble-pack the int4 down
+    projection at EXACTLY this width — the packing and the kernel's
+    BlockSpec slicing must agree or the kernel computes garbage silently."""
+    block_f = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_F", block_f))
+    return _pick_block(F, block_f, 128)
 
 
 def fused_stack_step(
@@ -632,18 +738,38 @@ def fused_stack_step(
 
     Projections are chunked at `block_proj` columns/rows so every weight
     block double-buffers inside the VMEM budget at 9B shapes.
+
+    int4 MLP variant (opt-in, stack_decode_params(mlp_int4=True)): the
+    stacked dict carries gate4/up4 [L,H/2,F] i8 (nibble-packed), gu_scale4
+    [L, 2 or 2*(H/g), F] f32, down4 [L,F/2,H] i8 (block-locally packed at
+    THIS kernel's block_f — see stack_mlp_block_f), down_scale4
+    [L, 1 or F/g, H] f32 — detected here from the key names and scale
+    shapes. Halves the MLP weight stream (the largest decode-byte item).
     """
     B, H = x.shape
     L = stacked["wq"].shape[0]
-    F = stacked["gate"].shape[2]
+    mlp4 = "gate4" in stacked
+    F = stacked["gate4" if mlp4 else "gate"].shape[2]
     S = kc.shape[2]
     KHD = num_kv_heads * head_dim
     QHD = num_heads * head_dim
     D = head_dim
     G = num_heads // num_kv_heads
-    block_f = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_F", block_f))
-    block_f = _pick_block(F, block_f, 128)
+    block_f = stack_mlp_block_f(F, block_f)
     n_f = F // block_f
+    mlp4_group = None
+    if mlp4:
+        # group size is recoverable from the scale shapes alone (no static
+        # metadata survives a jit-traced pytree): grouped gate/up scales
+        # are [L, 2*(H/g), F]; per-channel ones are [L, 2, F]
+        gu_rows = stacked["gu_scale4"].shape[1]
+        if gu_rows != 2:
+            mlp4_group = (2 * H) // gu_rows
+            assert (H // 2) % mlp4_group == 0 and \
+                (block_f // 2) % mlp4_group == 0, (
+                    f"int4 group {mlp4_group} must divide H/2={H // 2} and "
+                    f"block_f/2={block_f // 2}")
+            assert stacked["down_scale4"].shape[1] == F // mlp4_group
     block_proj = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_PROJ",
                                     block_proj))
     bq = _pick_block(QHD, block_proj, D)
@@ -662,7 +788,8 @@ def fused_stack_step(
         _stack_kernel, num_layers=L, n_q=n_q, n_kv=n_kv, n_o=n_o, n_f=n_f,
         bq=bq, bkv=bkv, bo=bo, num_heads=num_heads,
         num_kv_heads=num_kv_heads, head_dim=head_dim,
-        attn_scale=attn_scale, softcap=softcap, eps=eps)
+        attn_scale=attn_scale, softcap=softcap, eps=eps,
+        mlp4=mlp4, mlp4_group=mlp4_group)
 
     # Fetch staggering: a block is DMA'd at the first grid step whose
     # index_map yields a new value, and Pallas prefetches exactly ONE step
@@ -710,12 +837,26 @@ def fused_stack_step(
             pl.BlockSpec((1, B, S, KHD), at_step(SA, 0, 0, 0)),
             pl.BlockSpec((1, num_kv_heads, B, S), at_step(SA, 0, 0, 0)),
             pl.BlockSpec((1, num_kv_heads, B, S), at_step(SA, 0, 0, 0)),
+        ] + ([
+            # int4 MLP: gate/up packed [L, H/2, F], combined gate|up scales
+            # [L, 2 or 2*(H/g), F], down block-locally packed [L, F/2, H],
+            # down scales [L, 1 or F/g, H]
+            pl.BlockSpec((1, H // 2, block_f), grp(SF0, n_f, False)),
+            pl.BlockSpec((1, H // 2, block_f), grp(SF0, n_f, False)),
+            pl.BlockSpec((1, stacked["gu_scale4"].shape[1], block_f),
+                         grp(SF0, n_f, False)),
+            pl.BlockSpec((1, block_f // 2, H), grp(SF0, n_f, True)),
+            (pl.BlockSpec((1, 1, H), at_step(SF0, 0, 0))
+             if mlp4_group is None else
+             pl.BlockSpec((1, block_f // mlp4_group, H),
+                          grp(SF0, n_f, True))),
+        ] if mlp4 else [
             pl.BlockSpec((1, H, block_f), grp(SF0, n_f, False)),
             pl.BlockSpec((1, H, block_f), grp(SF0, n_f, False)),
             pl.BlockSpec((1, 2, block_f), grp(SF0, n_f, False)),
             pl.BlockSpec((1, block_f, H), grp(SF0, n_f, True)),
             pl.BlockSpec((1, 1, H), at_step(SF0, 0, 0)),
-        ],
+        ]),
         out_specs=[
             pl.BlockSpec((B, H), lambda i, j, t_s: (0, 0)),
             pl.BlockSpec((1, B, 8, KHD),
@@ -757,8 +898,10 @@ def fused_stack_step(
       stacked["wq"], stacked["q_scale"], stacked["wkv"], stacked["kv_scale"],
       stacked["wo"], stacked["o_scale"], stacked["norms"], cos, sin,
       kc, vc, ks, vs,
-      stacked["gate"], stacked["up"], stacked["gu_scale"],
-      stacked["down"], stacked["down_scale"])
+      *((stacked["gate4"], stacked["up4"], stacked["gu_scale4"],
+         stacked["down4"], stacked["down_scale4"]) if mlp4 else
+        (stacked["gate"], stacked["up"], stacked["gu_scale"],
+         stacked["down"], stacked["down_scale"])))
     return outs
 
 
