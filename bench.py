@@ -222,8 +222,16 @@ def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False,
         "layers": {},
     }
     emb = put_filled(lm_sh["embedding"])
-    lm["embedding"] = (quantize_int8(emb, axis=1)
-                       if "embedding" in lm_parts else emb)
+    if "embedding4" in lm_parts:
+        from vlm_bridge_tpu.ops.quant import quantize_int4_rows
+
+        h = emb.shape[1]
+        lm["embedding"] = quantize_int4_rows(
+            emb, group_size=128 if (h // 2) % 128 == 0 else None)
+    elif "embedding" in lm_parts:
+        lm["embedding"] = quantize_int8(emb, axis=1)
+    else:
+        lm["embedding"] = emb
     del emb
     for name in sorted(lm_sh["layers"], key=int):
         lp = put_filled(lm_sh["layers"][name])
@@ -404,7 +412,9 @@ def main():
     ap.add_argument("--quantize", default="embedding,mlp,attn,bridge",
                     help="int8-quantize weight groups for the decode "
                          "bench: comma list of embedding,mlp,attn,bridge; "
-                         "'' for bf16 decode")
+                         "'' for bf16 decode. 'embedding4' instead of "
+                         "'embedding' packs the greedy-head table to int4 "
+                         "rows (halves its per-token stream again)")
     ap.add_argument("--bypass-bridge", action="store_true",
                     help="diagnostic: decode without the bridge to measure "
                          "its share of the step time")

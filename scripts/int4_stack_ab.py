@@ -1,14 +1,17 @@
-"""Same-process A/B: whole-stack decode with int8 MLP vs int4 MLP weights.
+"""Same-process A/B: whole-stack decode at int8 vs the two int4 levers.
 
-The int4 MLP halves the decode loop's largest weight stream (1.66 GB ->
-0.83 at 2B; DESIGN.md §3 projects ~+18% captions/s end-to-end if the
-in-kernel unpack + grouped dots are free). Both variants run through
-generate_tokens with PRE-stacked weights (the serving deployment shape),
-share one process, and interleave reps so tunnel throttling hits them
-equally (cross-run wall-time comparisons are garbage on this box).
+Variants (shared process, interleaved reps so tunnel throttling hits all
+equally — cross-run wall-time comparisons are garbage on this box):
 
-The two stacked layouts share the embedding/vision/bridge params — only the
-MLP stack differs — so both fit one 16 GB chip (~2.1 + ~1.4 GB stacks).
+  int8    — the round-3 serving recipe (int8 MLP stack, int8 greedy head)
+  int4mlp — nibble-packed int4 MLP weights in the whole-stack kernel
+            (halves the decode loop's largest stream: 1.66 GB -> 0.83 at 2B)
+  int4all — int4mlp + the int4 rows-packed embedding table (greedy head
+            stream 590 -> 295 MB; the embed gather reads the same table)
+
+DESIGN.md §3 projects ~+18% captions/s from the MLP lever and ~+7% from
+the head. All variants run through generate_tokens with PRE-stacked
+weights (the serving deployment shape) and share the vision/bridge params.
 
 Usage: python scripts/int4_stack_ab.py [--batch 64] [--len 50] [--reps 5]
            [--group 128] [--output perf/int4_stack_ab.json]
@@ -25,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+VARIANTS = ("int8", "int4mlp", "int4all")
 
 
 def main():
@@ -43,6 +48,7 @@ def main():
     from vlm_bridge_tpu.inference.generate import (
         GenerationConfig, generate_tokens)
     from vlm_bridge_tpu.models import bridge, full_model, gemma2
+    from vlm_bridge_tpu.ops.quant import quantize_int4_rows
 
     cfg = VLMConfig.default()
     params = full_model.init(jax.random.key(0), cfg)
@@ -53,15 +59,24 @@ def main():
     stacked8 = gemma2.stack_decode_params(params["lm"], cfg.lm)
     stacked4 = gemma2.stack_decode_params(
         params["lm"], cfg.lm, mlp_int4=True, mlp_int4_group=group)
-    jax.block_until_ready((stacked8, stacked4))
-    print(f"stacked both layouts in {time.time()-t0:.0f}s", file=sys.stderr)
+    emb8 = params["lm"]["embedding"]
+    # int4 table from the same int8 reconstruction the int8 head serves
+    from vlm_bridge_tpu.ops.quant import dequantize
+    emb4 = quantize_int4_rows(dequantize(emb8, axis=1), group_size=group)
+    jax.block_until_ready((stacked8, stacked4, emb4))
+    print(f"built all layouts in {time.time()-t0:.0f}s", file=sys.stderr)
 
-    base_lm = {k: v for k, v in params["lm"].items() if k != "layers"}
+    base_lm = {k: v for k, v in params["lm"].items()
+               if k not in ("layers", "embedding")}
     variants = {
-        "int8": {**params, "lm": {**base_lm, "stacked_decode": stacked8}},
-        "int4": {**params, "lm": {**base_lm, "stacked_decode": stacked4}},
+        "int8": {**params, "lm": {**base_lm, "embedding": emb8,
+                                  "stacked_decode": stacked8}},
+        "int4mlp": {**params, "lm": {**base_lm, "embedding": emb8,
+                                     "stacked_decode": stacked4}},
+        "int4all": {**params, "lm": {**base_lm, "embedding": emb4,
+                                     "stacked_decode": stacked4}},
     }
-    # per-layer weights are no longer needed by either variant
+    # per-layer weights are no longer needed by any variant
     del params["lm"]["layers"]
 
     pixels = jnp.asarray(
@@ -76,17 +91,18 @@ def main():
         return np.asarray(toks)
 
     toks = {}
-    for name in ("int8", "int4"):
+    for name in VARIANTS:
         t0 = time.time()
         toks[name] = run(name)
         print(f"{name} compile+warm {time.time()-t0:.0f}s", file=sys.stderr)
     # agreement is informative, not a gate: int4 is a coarser grid, so some
-    # argmax flips are expected even when the kernel is correct
-    agree = float((toks["int8"] == toks["int4"]).mean())
+    # argmax flips are expected even when the kernels are correct
+    agree = {n: float((toks["int8"] == toks[n]).mean())
+             for n in VARIANTS[1:]}
 
-    times = {"int8": [], "int4": []}
+    times = {n: [] for n in VARIANTS}
     for _ in range(args.reps):
-        for name in ("int8", "int4"):
+        for name in VARIANTS:
             t0 = time.time()
             run(name)
             times[name].append(time.time() - t0)
@@ -94,17 +110,19 @@ def main():
     med = {k: sorted(v)[len(v) // 2] for k, v in times.items()}
     out = {
         "batch": args.batch, "len": args.len, "group": group,
-        "int8_batch_s": round(med["int8"], 4),
-        "int4_batch_s": round(med["int4"], 4),
-        "int8_captions_per_sec": round(args.batch / med["int8"], 1),
-        "int4_captions_per_sec": round(args.batch / med["int4"], 1),
-        "speedup_int4_vs_int8": round(med["int8"] / med["int4"], 3),
-        "token_agreement": agree,
-        "accepted": med["int8"] / med["int4"] >= 1.08,
+        **{f"{n}_batch_s": round(med[n], 4) for n in VARIANTS},
+        **{f"{n}_captions_per_sec": round(args.batch / med[n], 1)
+           for n in VARIANTS},
+        "speedup_int4mlp_vs_int8": round(med["int8"] / med["int4mlp"], 3),
+        "speedup_int4all_vs_int8": round(med["int8"] / med["int4all"], 3),
+        "token_agreement_vs_int8": agree,
+        "accepted_mlp": med["int8"] / med["int4mlp"] >= 1.08,
+        "accepted_all": med["int8"] / med["int4all"] >= 1.12,
         "all_s": {k: [round(t, 3) for t in v] for k, v in times.items()},
-        "note": "same-process interleaved reps, pre-stacked weights both "
-                "sides; acceptance >=1.08x end-to-end. Serving adoption "
-                "also needs the real-weight quality gate (PARITY.md).",
+        "note": "same-process interleaved reps, pre-stacked weights all "
+                "variants; acceptance 1.08x (mlp) / 1.12x (mlp+head) "
+                "end-to-end. Serving adoption also needs the real-weight "
+                "quality gate (PARITY.md).",
     }
     line = json.dumps(out)
     print(line)

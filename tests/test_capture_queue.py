@@ -80,6 +80,7 @@ def test_queue_invocation_order(queue_run):
         ("vlm-eval", "--kv-int8"),
         ("python", "early_stop_ab.py"),
         ("python", "int4_mlp_probe.py"),
+        ("python", "int4_stack_ab.py"),
     ]
     assert len(seq) == len(expect), seq
     for call, (prefix, must_contain) in zip(seq, expect):
@@ -119,6 +120,8 @@ def test_queue_flags_exist_in_real_parsers(queue_run):
             REPO / "scripts" / "encoder_mm_ab.py"),
         "early_stop_ab.py": _harvest_flags(
             REPO / "scripts" / "early_stop_ab.py"),
+        "int4_stack_ab.py": _harvest_flags(
+            REPO / "scripts" / "int4_stack_ab.py"),
     }
     for call in calls:
         toks = call.split()

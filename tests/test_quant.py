@@ -493,3 +493,118 @@ def test_int4_mlp_rejects_mixed_group_sizes():
         axis=0, group_size=128), block_f=block_f)
     with pytest.raises(AssertionError, match="group_size"):
         q4.int4_mlp(x, gate, up, down, block_f=block_f)
+
+
+# ---------------------------------------------------------------------------
+# Int4 rows-packed embedding / lm_head (greedy-head stream at 4 bits)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("group", [None, 128])
+def test_int4_rows_roundtrip_and_gather(group):
+    rng = np.random.default_rng(21)
+    V, H = 200, 256
+    w = jnp.asarray(rng.normal(0, 0.05, (V, H)), jnp.float32)
+    wq = quant.quantize_int4_rows(w, group_size=group)
+    assert wq["w_int4"].shape == (V, H // 2)
+    if group is None:
+        assert wq["scale"].shape == (V,)
+    else:
+        assert wq["scale"].shape == (H // group, V)  # transposed for lanes
+    deq = np.asarray(quant.dequantize_int4_rows(wq))
+    rel = np.abs(deq - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.12  # int4 grid: |err| <= scale/2 <= absmax/14
+
+    ids = jnp.asarray([0, 3, 199, 3])
+    rows = np.asarray(quant.take_int4_rows(wq, ids))
+    np.testing.assert_allclose(rows, deq[np.asarray(ids)], rtol=1e-6)
+
+
+@pytest.mark.parametrize("group", [None, 128])
+def test_int4_matmul_t_kernel_interpret(monkeypatch, group):
+    monkeypatch.setattr(quant, "INTERPRET", True)
+    rng = np.random.default_rng(23)
+    M, H, V = 8, 512, 300  # V % block != 0 -> padding path
+    x = jnp.asarray(rng.normal(0, 1, (M, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (V, H)), jnp.float32)
+    wq = quant.quantize_int4_rows(w, group_size=group)
+    assert quant._int4_mmt_pallas_ok(wq)
+    got = np.asarray(quant.int4_matmul_t(x, wq))
+    want = np.asarray(x) @ np.asarray(
+        quant.dequantize_int4_rows(wq)).T  # exact int4 grid reference
+    np.testing.assert_allclose(got, want, atol=3e-2 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("group", [None, 128])
+def test_int4_matmul_t_argmax_kernel_interpret(monkeypatch, group):
+    monkeypatch.setattr(quant, "INTERPRET", True)
+    rng = np.random.default_rng(29)
+    M, H, V = 8, 512, 1000
+    x = jnp.asarray(rng.normal(0, 1, (M, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (V, H)), jnp.float32)
+    wq = quant.quantize_int4_rows(w, group_size=group)
+    got = np.asarray(quant.int4_matmul_t_argmax(x, wq, block_v=256))
+    want = np.asarray(jnp.argmax(quant.int4_matmul_t(x, wq), axis=-1))
+    np.testing.assert_array_equal(got, want)
+    x_nan = x.at[2].set(jnp.nan)
+    got_nan = np.asarray(quant.int4_matmul_t_argmax(x_nan, wq, block_v=256))
+    assert got_nan[2] == 0
+
+
+def test_int4_rows_small_h_falls_back():
+    # tiny dims (H=64) cannot lane-align the nibble halves: the public
+    # entry points must serve via the jnp fallback, not crash
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(0, 1, (4, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (96, 64)), jnp.float32)
+    wq = quant.quantize_int4_rows(w)
+    assert not quant._int4_mmt_pallas_ok(wq)
+    got = np.asarray(quant.int4_matmul_t(x, wq))
+    want = np.asarray(x) @ np.asarray(quant.dequantize_int4_rows(wq)).T
+    np.testing.assert_allclose(got, want, atol=1e-4 * np.abs(want).max())
+    idx = np.asarray(quant.int4_matmul_t_argmax(x, wq))
+    np.testing.assert_array_equal(idx, np.argmax(want, axis=-1))
+
+
+def test_embedding4_quantize_parts_and_paths():
+    """quantize_params(parts with embedding4) plugs into embed,
+    logits_from_hidden and the greedy generate head transparently."""
+    cfg = Gemma2Config.tiny_test()
+    params = gemma2.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    q4 = gemma2.quantize_params(params, parts=("embedding4", "mlp", "attn"))
+    assert "w_int4" in q4["embedding"]
+    with pytest.raises(ValueError):
+        gemma2.quantize_params(params, parts=("embedding", "embedding4"))
+
+    # reference: the same model with the embedding replaced by the EXACT
+    # dequantized int4 table (raw array path)
+    ref = dict(q4, embedding=quant.dequantize_int4_rows(q4["embedding"]))
+    ids = jnp.asarray([[1, 5, 77], [3, 0, 511]])
+    np.testing.assert_allclose(
+        np.asarray(gemma2.embed(q4, ids)),
+        np.asarray(gemma2.embed(ref, ids)), rtol=1e-6)
+
+    hidden = jnp.asarray(
+        np.random.default_rng(33).normal(0, 1, (2, 3, cfg.hidden_size)),
+        jnp.float32)
+    lg4 = np.asarray(gemma2.logits_from_hidden(q4, cfg, hidden))
+    lgr = np.asarray(gemma2.logits_from_hidden(ref, cfg, hidden))
+    np.testing.assert_allclose(lg4, lgr, atol=2e-5 * np.abs(lgr).max())
+
+
+def test_generate_greedy_embedding4_runs():
+    from vlm_bridge_tpu.inference.generate import (
+        GenerationConfig, generate_tokens)
+
+    cfg = VLMConfig.tiny_test()
+    params = full_model.init(jax.random.key(0), cfg)
+    params["lm"] = gemma2.quantize_params(
+        params["lm"], parts=("embedding4", "mlp", "attn"))
+    rng = np.random.default_rng(35)
+    pixels = jnp.asarray(
+        rng.normal(0, 1, (2, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32)
+    gen = GenerationConfig(max_length=6, greedy=True, kv_quant=True)
+    toks, lengths = generate_tokens(params, cfg, pixel_values=pixels,
+                                    gen=gen)
+    assert toks.shape == (2, 7) and np.asarray(lengths).shape == (2,)

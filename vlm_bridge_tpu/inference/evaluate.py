@@ -202,6 +202,13 @@ def main(argv=None) -> int:
                     help="causal bridge self-attention in --exact mode "
                          "(must match how the checkpoint was trained; "
                          "default: auto from the checkpoint's meta sidecar)")
+    ap.add_argument("--mlp-int4", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="int4 Gemma MLP weights in the fused-stack decode "
+                         "(with --quantize mlp + --kv-int8) — the quality "
+                         "gate for the int4 serving recipe (PARITY.md); "
+                         "pair with '--quantize embedding4,...' for the "
+                         "int4 greedy head")
     from vlm_bridge_tpu.tools.loading import (
         add_model_args, apply_platform, load_from_args, mesh_from_args)
 
@@ -232,7 +239,8 @@ def main(argv=None) -> int:
         max_length=args.max_length, greedy=args.greedy,
         temperature=args.temperature, top_p=args.top_p,
         exact=args.exact, early_stop=early_stop,
-        kv_quant=args.kv_int8, bridge_causal=bridge_causal)
+        kv_quant=args.kv_int8, bridge_causal=bridge_causal,
+        mlp_int4=args.mlp_int4)
     result = evaluate_split(
         params, cfg, args.data_dir, tokenizer=tokenizer,
         split=args.split, batch_size=args.batch_size, gen=gen,

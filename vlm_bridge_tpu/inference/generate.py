@@ -449,13 +449,16 @@ def _generate_fast(
             hidden, kv_cache = gemma2.decode_step(
                 params["lm"], lm_cfg, bridged, kv_cache, position=t)
         if gen.greedy and isinstance(params["lm"]["embedding"], dict):
-            # fused greedy head: argmax computed inside the int8 lm_head
-            # kernel — the [B, 256k] f32 logits never hit HBM (the final
-            # softcap is monotonic, so argmax is unchanged)
-            from vlm_bridge_tpu.ops.quant import int8_matmul_t_argmax
+            # fused greedy head: argmax computed inside the int8/int4
+            # lm_head kernel — the [B, 256k] f32 logits never hit HBM (the
+            # final softcap is monotonic, so argmax is unchanged)
+            from vlm_bridge_tpu.ops.quant import (
+                int4_matmul_t_argmax, int8_matmul_t_argmax)
 
-            nxt = int8_matmul_t_argmax(hidden[:, 0, :],
-                                       params["lm"]["embedding"])
+            head = (int4_matmul_t_argmax
+                    if "w_int4" in params["lm"]["embedding"]
+                    else int8_matmul_t_argmax)
+            nxt = head(hidden[:, 0, :], params["lm"]["embedding"])
         else:
             logits = gemma2.logits_from_hidden(
                 params["lm"], lm_cfg, hidden)[:, 0]

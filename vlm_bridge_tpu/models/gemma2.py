@@ -422,10 +422,15 @@ def embed(params: dict, input_ids: jax.Array) -> jax.Array:
     """Raw (un-normalized) embedding lookup — this is what the bridge consumes
     (reference LanguageModel.get_embeddings, language_model.py:146-164).
 
-    With an int8-quantized embedding ({"w_int8", "scale"} per vocab row),
-    only the gathered rows are dequantized."""
+    With an int8-quantized embedding ({"w_int8", "scale"} per vocab row) —
+    or the int4 rows-packed table ("embedding4") — only the gathered rows
+    are dequantized."""
     E = params["embedding"]
     if isinstance(E, dict):
+        if "w_int4" in E:
+            from vlm_bridge_tpu.ops.quant import take_int4_rows
+
+            return take_int4_rows(E, input_ids)
         # dequant in f32 and return f32 — callers choose their activation
         # dtype (hardcoding bf16 here would silently degrade f32 parity runs)
         rows = jnp.take(E["w_int8"], input_ids, axis=0).astype(jnp.float32)
@@ -583,10 +588,11 @@ def logits_from_hidden(params: dict, cfg: Gemma2Config, hidden: jax.Array) -> ja
     """Tied lm_head + final softcap, f32 output."""
     E = params["embedding"]
     if isinstance(E, dict):
-        from vlm_bridge_tpu.ops.quant import int8_matmul_t
+        from vlm_bridge_tpu.ops.quant import int4_matmul_t, int8_matmul_t
 
         B, T, H = hidden.shape
-        logits = int8_matmul_t(hidden.reshape(B * T, H), E)
+        mm = int4_matmul_t if "w_int4" in E else int8_matmul_t
+        logits = mm(hidden.reshape(B * T, H), E)
         logits = logits.reshape(B, T, -1)
     else:
         logits = jnp.einsum(
@@ -631,18 +637,31 @@ def quantize_params(
     parts: which weight groups to quantize — "embedding" (tied lm_head,
     590M params), "mlp" (26x 63.7M, served by the fused int8_mlp kernel),
     "attn" (26x 18.9M; many small kernels — leave bf16 if launch overhead
-    outweighs the byte savings on your batch size).
+    outweighs the byte savings on your batch size). "embedding4" (instead
+    of "embedding") packs the table to int4 rows (group-128 sub-channel
+    scales) — halves the greedy head's per-token stream again; opt-in
+    pending the real-weight quality gate (PARITY.md).
     """
-    from vlm_bridge_tpu.ops.quant import quantize_int8
+    from vlm_bridge_tpu.ops.quant import quantize_int4_rows, quantize_int8
 
-    unknown = set(parts) - {"embedding", "mlp", "attn"}
+    unknown = set(parts) - {"embedding", "embedding4", "mlp", "attn"}
     if unknown:
         raise ValueError(f"unknown quantize parts: {sorted(unknown)} "
-                         f"(valid: embedding, mlp, attn)")
+                         f"(valid: embedding, embedding4, mlp, attn)")
+    if "embedding4" in parts and "embedding" in parts:
+        raise ValueError("embedding and embedding4 are mutually exclusive")
 
+    if "embedding4" in parts:
+        h = params["embedding"].shape[1]
+        emb_q = quantize_int4_rows(
+            params["embedding"],
+            group_size=128 if (h // 2) % 128 == 0 else None)
+    elif "embedding" in parts:
+        emb_q = quantize_int8(params["embedding"], axis=1)
+    else:
+        emb_q = params["embedding"]
     out = {
-        "embedding": (quantize_int8(params["embedding"], axis=1)
-                      if "embedding" in parts else params["embedding"]),
+        "embedding": emb_q,
         "final_norm": params["final_norm"],
         "layers": {},
     }

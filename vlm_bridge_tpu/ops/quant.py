@@ -260,6 +260,256 @@ def _int8_mmt_kernel(x_ref, w_ref, s_ref, o_ref):
     o_ref[...] = (y * s_ref[0][None, :]).astype(o_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# int4 embedding / lm_head (row-quantized, nibble-packed over H)
+# ---------------------------------------------------------------------------
+
+
+def quantize_int4_rows(w: jax.Array,
+                       *, group_size: Optional[int] = None) -> dict:
+    """Symmetric int4 for ROW-major lookup tables ([V, H] embeddings):
+    values are nibble-packed along H (contiguous halves, like
+    quantize_int4), scales per vocab row — or per (row, H-group) with
+    group_size, stored TRANSPOSED [H/g, V] so the matmul kernels read them
+    with V on the lane dim (no in-kernel transpose).
+
+    Returns {"w_int4": int8 [V, H/2], "scale": f32 [V] or [H/g, V]} — w ≈
+    unpack ⊙ scale, values ±7. ARRAYS ONLY (no metadata strings): the table
+    lives inside jit-traced param pytrees, so the group size is recovered
+    from the scale shape (1-D = per-row, 2-D [H/g, V] ⇒ g = H // rows).
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    V, H = wf.shape
+    assert H % 2 == 0, "H must be even to nibble-pack"
+    if group_size is None:
+        absmax = jnp.max(jnp.abs(wf), axis=1)
+        scale = jnp.maximum(absmax, 1e-12) / 7.0          # [V]
+        scale_full = scale[:, None]
+    else:
+        g = group_size
+        assert (H // 2) % g == 0, (
+            f"group_size {g} must divide H/2 ({H // 2}) so each nibble "
+            "half holds whole groups")
+        absmax = jnp.max(jnp.abs(wf.reshape(V, H // g, g)), axis=2)
+        scale_vg = jnp.maximum(absmax, 1e-12) / 7.0       # [V, H/g]
+        scale = scale_vg.T                                 # [H/g, V]
+        scale_full = jnp.repeat(scale_vg, g, axis=1)       # [V, H]
+    q = jnp.clip(jnp.round(wf / scale_full), -7, 7).astype(jnp.int8)
+    lo, hi = q[:, : H // 2], q[:, H // 2:]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, 0x0F), jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return {"w_int4": packed, "scale": scale}
+
+
+def is_quantized_int4_rows(w) -> bool:
+    """Rows-packed table: [V, H/2] nibbles + per-row(-group) scales. The
+    shape relation distinguishes it from the (never-jit-carried) axis-0
+    int4 MLP dicts."""
+    if not (isinstance(w, dict) and "w_int4" in w and "scale" in w):
+        return False
+    s = w["scale"]
+    V = w["w_int4"].shape[0]
+    return (s.ndim == 1 and s.shape[0] == V) or \
+        (s.ndim == 2 and s.shape[1] == V)
+
+
+def _rows_group(wq: dict) -> Optional[int]:
+    """Group size of a rows-packed table, from the scale shape alone."""
+    s = wq["scale"]
+    if s.ndim == 1:
+        return None
+    return (2 * wq["w_int4"].shape[1]) // s.shape[0]
+
+
+def _rows_scale_full(wq: dict) -> jax.Array:
+    """[V, H]-broadcastable f32 scale for a rows-packed table."""
+    g = _rows_group(wq)
+    if g is None:
+        return wq["scale"][:, None]
+    return jnp.repeat(wq["scale"].T, g, axis=1)  # [V, H]
+
+
+def dequantize_int4_rows(wq: dict, *, dtype=jnp.float32) -> jax.Array:
+    assert is_quantized_int4_rows(wq)
+    lo, hi = unpack_int4(wq["w_int4"])
+    q = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+    return (q * _rows_scale_full(wq)).astype(dtype)
+
+
+def take_int4_rows(wq: dict, ids: jax.Array) -> jax.Array:
+    """Gather + dequantize rows of a rows-packed int4 table (f32 out).
+    Only the gathered rows are ever unpacked — the bf16/f32 table never
+    materializes (the int8 embed() property, kept at 4 bits)."""
+    packed = jnp.take(wq["w_int4"], ids, axis=0)           # [..., H/2]
+    lo, hi = unpack_int4(packed)
+    q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    g = _rows_group(wq)
+    if g is None:
+        return q * jnp.take(wq["scale"], ids, axis=0)[..., None]
+    s = jnp.take(wq["scale"], ids, axis=1)                 # [H/g, ...]
+    s = jnp.moveaxis(s, 0, -1)                             # [..., H/g]
+    return q * jnp.repeat(s, g, axis=-1)
+
+
+def _int4_mmt_pallas_ok(wq: dict) -> bool:
+    V, H2 = wq["w_int4"].shape
+    if (2 * H2) % 256 != 0:  # both halves must stay lane-aligned
+        return False
+    g = _rows_group(wq)
+    return g is None or (H2 % g == 0 and g % 128 == 0)
+
+
+def _int4_mmt_y(x, w_ref, s_ref, group):
+    """Shared logits-tile computation for the int4 transposed matmuls:
+    y[M, block_v] = x[M, H] @ unpack(w[block_v, H/2]).T ⊙ scale."""
+    lo, hi = unpack_int4(w_ref[...])
+    lo = lo.astype(jnp.bfloat16)
+    hi = hi.astype(jnp.bfloat16)
+    H2 = lo.shape[1]
+    dn = (((1,), (1,)), ((), ()))
+    if group is None:
+        y = jax.lax.dot_general(
+            x[:, :H2], lo, dn, preferred_element_type=jnp.float32)
+        y += jax.lax.dot_general(
+            x[:, H2:], hi, dn, preferred_element_type=jnp.float32)
+        return y * s_ref[0][None, :]
+    nG = H2 // group
+    y = jnp.zeros((x.shape[0], w_ref.shape[0]), jnp.float32)
+    for gi in range(nG):
+        sl = slice(gi * group, (gi + 1) * group)
+        y += jax.lax.dot_general(
+            x[:, sl], lo[:, sl], dn,
+            preferred_element_type=jnp.float32) * s_ref[gi][None, :]
+        y += jax.lax.dot_general(
+            x[:, H2 + gi * group:H2 + (gi + 1) * group], hi[:, sl], dn,
+            preferred_element_type=jnp.float32) * s_ref[nG + gi][None, :]
+    return y
+
+
+def _int4_mmt_kernel(x_ref, w_ref, s_ref, o_ref, *, group):
+    y = _int4_mmt_y(x_ref[...].astype(jnp.bfloat16), w_ref, s_ref, group)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _int4_mmt_argmax_kernel(x_ref, w_ref, s_ref, oval_ref, oidx_ref,
+                            *, n_inner, block_v, v_real, group):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        oval_ref[...] = jnp.full_like(oval_ref, -jnp.inf)
+        oidx_ref[...] = jnp.zeros_like(oidx_ref)
+
+    y = _int4_mmt_y(x_ref[...].astype(jnp.bfloat16), w_ref, s_ref, group)
+    col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) + j * block_v
+    y = jnp.where(col < v_real, y, -jnp.inf)
+
+    local_max = jnp.max(y, axis=-1, keepdims=True)
+    local_arg = jnp.min(
+        jnp.where(y >= local_max, col, jnp.iinfo(jnp.int32).max),
+        axis=-1, keepdims=True)
+    better = local_max > oval_ref[:, 0:1]
+    oval_ref[:, 0:1] = jnp.where(better, local_max, oval_ref[:, 0:1])
+    oidx_ref[:, 0:1] = jnp.where(better, local_arg, oidx_ref[:, 0:1])
+
+
+def _int4_scale_spec(wq: dict, block_v: int, pad_v: int):
+    """(padded scale operand, BlockSpec) for a rows-packed table's scales."""
+    g = _rows_group(wq)
+    if g is None:
+        sp = jnp.pad(wq["scale"], (0, pad_v))[None, :]
+        return sp, pl.BlockSpec((1, block_v), lambda j: (0, j))
+    sp = jnp.pad(wq["scale"], ((0, 0), (0, pad_v)))
+    return sp, pl.BlockSpec((sp.shape[0], block_v), lambda j: (0, j))
+
+
+def int4_matmul_t(x: jax.Array, wq: dict, *, block_v: int = 1024,
+                  out_dtype=jnp.float32) -> jax.Array:
+    """int8_matmul_t at 4 bits: y[M, V] = x[M, H] @ dequant4(w[V, H]).T.
+    Halves the lm_head weight stream (590 → 295 MB at the 2B vocab)."""
+    assert is_quantized_int4_rows(wq)
+    if (not _use_pallas() and not INTERPRET) or not _int4_mmt_pallas_ok(wq):
+        y = jax.lax.dot_general(
+            x, dequantize_int4_rows(wq, dtype=x.dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return y.astype(out_dtype)
+
+    w = wq["w_int4"]
+    V, H2 = w.shape
+    M = x.shape[0]
+    Mp = _round_up(M, 8)
+    block_v = min(block_v, _round_up(V, 32))
+    xp = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    pad_v = (-V) % block_v
+    wp = jnp.pad(w, ((0, pad_v), (0, 0)))
+    sp, s_spec = _int4_scale_spec(wq, block_v, pad_v)
+    nV = wp.shape[0] // block_v
+
+    out = pl.pallas_call(
+        functools.partial(_int4_mmt_kernel, group=_rows_group(wq)),
+        grid=(nV,),
+        in_specs=[
+            pl.BlockSpec((Mp, 2 * H2), lambda j: (0, 0)),
+            pl.BlockSpec((block_v, H2), lambda j: (j, 0)),
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((Mp, block_v), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, wp.shape[0]), out_dtype),
+        interpret=INTERPRET,
+    )(xp, wp, sp)
+    return out[:M, :V]
+
+
+def int4_matmul_t_argmax(x: jax.Array, wq: dict,
+                         *, block_v: int = 8192) -> jax.Array:
+    """int8_matmul_t_argmax at 4 bits: the greedy head streams the packed
+    table once per token and the [M, V] logits never exist in HBM. Same
+    argmax algebra (softcap monotonic, first-index tie-break)."""
+    assert is_quantized_int4_rows(wq)
+    if (not _use_pallas() and not INTERPRET) or not _int4_mmt_pallas_ok(wq):
+        return jnp.argmax(int4_matmul_t(x, wq), axis=-1).astype(jnp.int32)
+
+    w = wq["w_int4"]
+    V, H2 = w.shape
+    M = x.shape[0]
+    Mp = _round_up(M, 8)
+    xp = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    # same padding-avoidance as the int8 head: pick a 128-multiple block
+    # that divides V exactly so XLA never copies the table inside the scan
+    block_v = min(block_v, _round_up(V, 128))
+    exact = next((b for b in range(block_v - block_v % 128, 127, -128)
+                  if V % b == 0), None)
+    if exact is not None:
+        block_v, pad_v, wp = exact, 0, w
+    else:
+        pad_v = (-V) % block_v
+        wp = jnp.pad(w, ((0, pad_v), (0, 0)))
+    sp, s_spec = _int4_scale_spec(wq, block_v, pad_v)
+    nV = wp.shape[0] // block_v
+
+    val, idx = pl.pallas_call(
+        functools.partial(_int4_mmt_argmax_kernel, n_inner=nV,
+                          block_v=block_v, v_real=V,
+                          group=_rows_group(wq)),
+        grid=(nV,),
+        in_specs=[
+            pl.BlockSpec((Mp, 2 * H2), lambda j: (0, 0)),
+            pl.BlockSpec((block_v, H2), lambda j: (j, 0)),
+            s_spec,
+        ],
+        out_specs=[pl.BlockSpec((Mp, 128), lambda j: (0, 0)),
+                   pl.BlockSpec((Mp, 128), lambda j: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((Mp, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, 128), jnp.int32)],
+        # [8000, 1152] packed blocks + the unpacked bf16 pair stay within
+        # the raised cap (the int8 head already runs at 64 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(xp, wp, sp)
+    return idx[:M, 0]
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

@@ -25,7 +25,8 @@ def add_model_args(ap) -> None:
                     help="force a JAX backend (CPU smoke runs)")
     ap.add_argument("--quantize", default=None,
                     help="int8-quantize weight groups: comma list of "
-                         "embedding,mlp,attn,bridge")
+                         "embedding,mlp,attn,bridge ('embedding4' instead "
+                         "of 'embedding' = int4 rows-packed table)")
     ap.add_argument("--mesh", default=None,
                     help="device mesh for inference: DATA[,MODEL] (e.g. "
                          "'8' = 8-way batch-sharded decode, '4,2' adds "
