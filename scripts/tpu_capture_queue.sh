@@ -14,6 +14,7 @@
 #   6. early-stop decode bound (while_loop overhead + short-scan projection)
 #   7. int4 nibble-packed MLP vs int8 same-trace A/B at the decode shape
 #   8. int4 whole-stack decode A/B (generate end-to-end, same process)
+#   9. 9B int4 decode (nibble-packed MLP + head on the streamed build)
 set -u
 cd "$(dirname "$0")/.."
 PERF="${1:-perf}"
@@ -65,5 +66,10 @@ timeout 1800 python scripts/int4_mlp_probe.py \
 echo "== 8. int4 whole-stack decode A/B (int8 vs int4 MLP, same process) =="
 timeout 2400 python scripts/int4_stack_ab.py --batch 64 --len 50 \
     --output "$PERF/int4_stack_ab.json"
+
+echo "== 9. 9B int4 decode (MLP+head at 4 bits; largest byte win) =="
+timeout 2400 python bench.py --preset gemma2_9b --decode-batch 32 \
+    --mlp-int4 --quantize embedding4,mlp,attn,bridge \
+    | tee "$PERF/decode_9b_batch32_int4.json"
 
 echo "== queue done ($STAMP) — commit the $PERF artifacts =="

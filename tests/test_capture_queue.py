@@ -81,6 +81,7 @@ def test_queue_invocation_order(queue_run):
         ("python", "early_stop_ab.py"),
         ("python", "int4_mlp_probe.py"),
         ("python", "int4_stack_ab.py"),
+        ("python bench.py", "--mlp-int4"),
     ]
     assert len(seq) == len(expect), seq
     for call, (prefix, must_contain) in zip(seq, expect):
