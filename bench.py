@@ -197,10 +197,12 @@ def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False,
 
     from vlm_bridge_tpu.models import bridge as bridge_mod
     from vlm_bridge_tpu.models import full_model, gemma2
-    from vlm_bridge_tpu.ops.quant import quantize_int8
 
     parts = tuple(quantize.split(",")) if quantize else ()
     lm_parts = tuple(p for p in parts if p != "bridge")
+    unknown = set(lm_parts) - {"embedding", "embedding4", "mlp", "attn"}
+    if unknown:  # same contract as gemma2.quantize_params
+        raise ValueError(f"unknown quantize parts: {sorted(unknown)}")
     dev = jax.devices()[0]
 
     def put_filled(shapes):
@@ -222,16 +224,7 @@ def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False,
         "layers": {},
     }
     emb = put_filled(lm_sh["embedding"])
-    if "embedding4" in lm_parts:
-        from vlm_bridge_tpu.ops.quant import quantize_int4_rows
-
-        h = emb.shape[1]
-        lm["embedding"] = quantize_int4_rows(
-            emb, group_size=128 if (h // 2) % 128 == 0 else None)
-    elif "embedding" in lm_parts:
-        lm["embedding"] = quantize_int8(emb, axis=1)
-    else:
-        lm["embedding"] = emb
+    lm["embedding"] = gemma2.quantize_embedding_part(emb, lm_parts)
     del emb
     for name in sorted(lm_sh["layers"], key=int):
         lp = put_filled(lm_sh["layers"][name])
@@ -512,6 +505,15 @@ def run(args):
     if not args.skip_train:
         extras.update(bench_train(cfg, tc, args.batch, args.seq, args.steps))
     if not args.skip_decode:
+        if args.mlp_int4:
+            # int4 MLP weights serve only the fused-stack decode; without
+            # these knobs the bench would silently measure int8 while the
+            # artifact says decode_mlp_int4: true
+            qparts = set((args.quantize or "").split(","))
+            if not args.kv_int8 or not {"mlp", "attn"} <= qparts:
+                raise SystemExit(
+                    "--mlp-int4 requires --kv-int8 and --quantize "
+                    "including mlp,attn (the fused-stack serving recipe)")
         # every knob that produced the decode numbers, so the artifact is
         # self-describing (round-2 verdict: BENCH_r02 read as if 149.6
         # captions/s happened at the *train* batch of 8)

@@ -90,19 +90,27 @@ def main():
                                   pixel_values=pixels, gen=gen)
         return np.asarray(toks)
 
-    toks = {}
+    toks, errors = {}, {}
     for name in VARIANTS:
         t0 = time.time()
-        toks[name] = run(name)
-        print(f"{name} compile+warm {time.time()-t0:.0f}s", file=sys.stderr)
+        # a Mosaic lowering failure on one variant must not zero the whole
+        # artifact — this runs UNATTENDED from the capture queue
+        try:
+            toks[name] = run(name)
+            print(f"{name} compile+warm {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {str(e)[:400]}"
+            print(f"{name} FAILED: {errors[name]}", file=sys.stderr)
+    alive = [n for n in VARIANTS if n in toks]
     # agreement is informative, not a gate: int4 is a coarser grid, so some
     # argmax flips are expected even when the kernels are correct
     agree = {n: float((toks["int8"] == toks[n]).mean())
-             for n in VARIANTS[1:]}
+             for n in alive[1:]} if "int8" in toks else {}
 
-    times = {n: [] for n in VARIANTS}
+    times = {n: [] for n in alive}
     for _ in range(args.reps):
-        for name in VARIANTS:
+        for name in alive:
             t0 = time.time()
             run(name)
             times[name].append(time.time() - t0)
@@ -110,20 +118,26 @@ def main():
     med = {k: sorted(v)[len(v) // 2] for k, v in times.items()}
     out = {
         "batch": args.batch, "len": args.len, "group": group,
-        **{f"{n}_batch_s": round(med[n], 4) for n in VARIANTS},
+        **{f"{n}_batch_s": round(med[n], 4) for n in alive},
         **{f"{n}_captions_per_sec": round(args.batch / med[n], 1)
-           for n in VARIANTS},
-        "speedup_int4mlp_vs_int8": round(med["int8"] / med["int4mlp"], 3),
-        "speedup_int4all_vs_int8": round(med["int8"] / med["int4all"], 3),
+           for n in alive},
         "token_agreement_vs_int8": agree,
-        "accepted_mlp": med["int8"] / med["int4mlp"] >= 1.08,
-        "accepted_all": med["int8"] / med["int4all"] >= 1.12,
         "all_s": {k: [round(t, 3) for t in v] for k, v in times.items()},
         "note": "same-process interleaved reps, pre-stacked weights all "
                 "variants; acceptance 1.08x (mlp) / 1.12x (mlp+head) "
                 "end-to-end. Serving adoption also needs the real-weight "
                 "quality gate (PARITY.md).",
     }
+    if errors:
+        out["errors"] = errors
+    if "int8" in med and "int4mlp" in med:
+        out["speedup_int4mlp_vs_int8"] = round(
+            med["int8"] / med["int4mlp"], 3)
+        out["accepted_mlp"] = med["int8"] / med["int4mlp"] >= 1.08
+    if "int8" in med and "int4all" in med:
+        out["speedup_int4all_vs_int8"] = round(
+            med["int8"] / med["int4all"], 3)
+        out["accepted_all"] = med["int8"] / med["int4all"] >= 1.12
     line = json.dumps(out)
     print(line)
     if args.output:

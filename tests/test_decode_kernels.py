@@ -400,3 +400,30 @@ def test_decode_step_stacked_int4_chunked_mlp(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(h4c), np.asarray(h4u), atol=2e-3 * scale,
             err_msg="chunked int4 MLP != unchunked int4 MLP")
+
+
+def test_decode_step_stacked_int4_blockf_drift_refused(monkeypatch):
+    """A block_f drift between stacking and decoding must FAIL (the
+    block-local down packing would silently compute garbage otherwise —
+    the 4-D down4 layout shape-encodes the stacking block_f)."""
+    import dataclasses as dc
+
+    monkeypatch.setenv("VLM_BRIDGE_STACK_BLOCK_F", "128")
+    cfg = dc.replace(_cfg(), intermediate_size=256)
+    _, qparams = _quantized(cfg)
+    stacked4 = gemma2.stack_decode_params(
+        qparams, cfg, mlp_int4=True, mlp_int4_group=16)
+    monkeypatch.setenv("VLM_BRIDGE_STACK_BLOCK_F", "256")
+    tok = jnp.zeros((2, 1, cfg.hidden_size), jnp.float32)
+    with pytest.raises(AssertionError, match="block_f"):
+        gemma2.decode_step_stacked(
+            qparams, cfg, stacked4, tok,
+            gemma2.StackedKVCache.zeros(cfg, 2, 16), jnp.int32(0))
+
+
+def test_stack_decode_params_int4_bad_group_raises():
+    cfg = _cfg()  # H=64 -> H/2=32: group 128 cannot divide
+    _, qparams = _quantized(cfg)
+    with pytest.raises(ValueError, match="mlp_int4_group"):
+        gemma2.stack_decode_params(qparams, cfg, mlp_int4=True,
+                                   mlp_int4_group=128)

@@ -182,3 +182,20 @@ def test_vlm_eval_bridge_causal_autodetect(tmp_path, capsys):
     stdout = capsys.readouterr().out
     assert "causal bridge mask" in stdout
     assert _json.loads(out.read_text())["num_samples"] == 4
+
+
+def test_vlm_eval_mlp_int4_guards(tmp_path):
+    """--mlp-int4 must fail LOUDLY when the fused-stack path cannot serve
+    (otherwise the PARITY quality gate would measure int8 and label it
+    int4)."""
+    from vlm_bridge_tpu.inference.evaluate import main
+
+    make_synthetic_dataset(tmp_path / "d", num_samples=8, image_size=70,
+                           seed=7)
+    base = ["--data-dir", str(tmp_path / "d"), "--split", "test",
+            "--preset", "tiny", "--platform", "cpu", "--batch-size", "4",
+            "--max-length", "5", "--mlp-int4"]
+    with pytest.raises(SystemExit, match="kv-int8"):
+        main(base)  # no --kv-int8
+    with pytest.raises(SystemExit, match="Pallas"):
+        main(base + ["--kv-int8", "--quantize", "embedding,mlp,attn"])

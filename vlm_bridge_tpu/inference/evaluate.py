@@ -219,6 +219,37 @@ def main(argv=None) -> int:
     cfg, params, tokenizer = load_from_args(args)
     mesh, params = mesh_from_args(args, params)
 
+    if args.mlp_int4:
+        # the int4 MLP serves ONLY the fused-stack decode; anything else
+        # would silently measure the int8 path while labeling it int4 —
+        # poison for the PARITY quality gate. Fail loudly instead.
+        from vlm_bridge_tpu.models import gemma2
+        from vlm_bridge_tpu.ops import decode_kernels
+        from vlm_bridge_tpu.ops.attention import _use_pallas
+
+        if args.exact or not args.kv_int8:
+            raise SystemExit("--mlp-int4 serves only the fused-stack "
+                             "decode: pair it with --kv-int8, not --exact")
+        if mesh is not None:
+            raise SystemExit("--mlp-int4: the fused kernels are "
+                             "single-device programs; drop --mesh")
+        if not (_use_pallas() or decode_kernels.INTERPRET):
+            raise SystemExit("--mlp-int4 requires the Pallas fused path "
+                             "(unavailable under VLM_BRIDGE_DISABLE_PALLAS "
+                             "/ --platform cpu without "
+                             "VLM_BRIDGE_PALLAS_INTERPRET)")
+        if not gemma2.supports_fused_decode(params["lm"], cfg.lm,
+                                            args.max_length + 1):
+            raise SystemExit("--mlp-int4 needs fully int8-quantized LM "
+                             "layers within the fused cache budget — pass "
+                             "--quantize including mlp,attn (e.g. "
+                             "embedding4,mlp,attn,bridge)")
+        # pre-stack ONCE: stacking inside the jitted decode would re-run
+        # the whole int4 quantization (dequant/round/pack of every layer)
+        # on every batch
+        params["lm"]["stacked_decode"] = gemma2.stack_decode_params(
+            params["lm"], cfg.lm, mlp_int4=True)
+
     if args.early_stop and args.exact:
         print("[vlm-eval] --early-stop is ignored in --exact mode "
               "(the parity decode is a fixed-length masked buffer)",

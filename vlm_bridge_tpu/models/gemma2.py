@@ -289,7 +289,13 @@ def stack_decode_params(params: dict, cfg: Gemma2Config,
     from vlm_bridge_tpu.ops import quant
 
     g = mlp_int4_group
-    block_f = dk.stack_mlp_block_f(cfg.intermediate_size)
+    F, H = cfg.intermediate_size, cfg.hidden_size
+    block_f = dk.stack_mlp_block_f(F)
+    if g is not None and ((H // 2) % g or (block_f // 2) % g):
+        raise ValueError(
+            f"mlp_int4_group={g} must divide H/2={H // 2} and "
+            f"block_f/2={block_f // 2} (pass mlp_int4_group=None for "
+            "per-channel scales, or a dividing group size)")
 
     def deq(w):
         # serving params arrive int8-quantized; int8 values are exact in
@@ -323,10 +329,17 @@ def stack_decode_params(params: dict, cfg: Gemma2Config,
                    quant.quantize_int4(deq(lp["mlp"]["down"]), group_size=g),
                    block_f=block_f)
                for lp in lps]
-    out["down4"] = jnp.stack([q["w_int4"] for q in down_qs])
-    # [L, 1, H] per-channel / [L, F/g, H] grouped
+    # explicit chunk dim [L, n_f, block_f/2, H]: shape-encodes block_f so
+    # fused_stack_step can refuse a stale stack (a different block_f would
+    # slice the block-local packing wrong and compute garbage silently),
+    # and keeps the Mosaic block's second-minor dim at full array extent
+    n_f = F // block_f
+    out["down4"] = jnp.stack(
+        [q["w_int4"].reshape(n_f, block_f // 2, H) for q in down_qs])
+    # [L, 1, H] per-channel / [L, n_f, block_f/g, H] grouped
     out["down_scale4"] = jnp.stack([
-        q["scale"][None] if g is None else q["scale"] for q in down_qs])
+        q["scale"][None] if g is None
+        else q["scale"].reshape(n_f, block_f // g, H) for q in down_qs])
     del down_qs
     drop(("mlp", "down"))
     return out
@@ -642,32 +655,37 @@ def quantize_params(
     scales) — halves the greedy head's per-token stream again; opt-in
     pending the real-weight quality gate (PARITY.md).
     """
-    from vlm_bridge_tpu.ops.quant import quantize_int4_rows, quantize_int8
-
     unknown = set(parts) - {"embedding", "embedding4", "mlp", "attn"}
     if unknown:
         raise ValueError(f"unknown quantize parts: {sorted(unknown)} "
                          f"(valid: embedding, embedding4, mlp, attn)")
-    if "embedding4" in parts and "embedding" in parts:
-        raise ValueError("embedding and embedding4 are mutually exclusive")
 
-    if "embedding4" in parts:
-        h = params["embedding"].shape[1]
-        emb_q = quantize_int4_rows(
-            params["embedding"],
-            group_size=128 if (h // 2) % 128 == 0 else None)
-    elif "embedding" in parts:
-        emb_q = quantize_int8(params["embedding"], axis=1)
-    else:
-        emb_q = params["embedding"]
     out = {
-        "embedding": emb_q,
+        "embedding": quantize_embedding_part(params["embedding"], parts),
         "final_norm": params["final_norm"],
         "layers": {},
     }
     for name, lp in params["layers"].items():
         out["layers"][name] = quantize_layer(lp, parts)
     return out
+
+
+def quantize_embedding_part(emb: jax.Array, parts: Tuple[str, ...]):
+    """Quantize the tied embedding per `parts` — the ONE place the
+    embedding/embedding4 choice (and the int4 group heuristic) lives, so
+    capacity-constrained loaders (bench._stream_quantized_params) cannot
+    drift from the serving path."""
+    from vlm_bridge_tpu.ops.quant import quantize_int4_rows, quantize_int8
+
+    if "embedding4" in parts and "embedding" in parts:
+        raise ValueError("embedding and embedding4 are mutually exclusive")
+    if "embedding4" in parts:
+        h = emb.shape[1]
+        return quantize_int4_rows(
+            emb, group_size=128 if (h // 2) % 128 == 0 else None)
+    if "embedding" in parts:
+        return quantize_int8(emb, axis=1)
+    return emb
 
 
 def quantize_layer(lp: dict, parts: Tuple[str, ...]) -> dict:

@@ -586,7 +586,7 @@ def _stack_kernel(
 
             H2 = H // 2
             block_f4 = g_ref.shape[2]
-            F2b = d_ref.shape[1]
+            F2b = d_ref.shape[2]  # down4 block: (1, 1, block_f/2, H)
 
             def _unpack4(p):
                 lo, hi = unpack_int4(p)
@@ -594,7 +594,7 @@ def _stack_kernel(
 
             g_lo, g_hi = _unpack4(g_ref[0])
             u_lo, u_hi = _unpack4(u_ref[0])
-            d_lo, d_hi = _unpack4(d_ref[0])
+            d_lo, d_hi = _unpack4(d_ref[0, 0])
             if mlp4_group is None:
                 # per-channel scales fold into one output multiply
                 g = (jax.lax.dot_general(
@@ -650,19 +650,20 @@ def _stack_kernel(
                 u = grouped(u_lo, u_hi, 2 * nG)
                 hf = (jax.nn.gelu(g, approximate=True) * u
                       ).astype(jnp.bfloat16)
-                # ds_ref rows: this block's lo-half F-groups 0..nGd, hi
-                # half nGd..2nGd (repack_down_blockwise block-local halves)
+                # ds_ref block (1, 1, block_f/g, H): this chunk's lo-half
+                # F-groups are rows 0..nGd, hi half nGd..2nGd
+                # (repack_down_blockwise block-local halves)
                 for gi in range(nGd):
                     sl = slice(gi * grp4, (gi + 1) * grp4)
                     acc[...] += jax.lax.dot_general(
                         hf[:, sl], d_lo[sl], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32
-                    ) * ds_ref[0, gi][None, :]
+                    ) * ds_ref[0, 0, gi][None, :]
                     acc[...] += jax.lax.dot_general(
                         hf[:, F2b + gi * grp4:F2b + (gi + 1) * grp4],
                         d_hi[sl], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32
-                    ) * ds_ref[0, nGd + gi][None, :]
+                    ) * ds_ref[0, 0, nGd + gi][None, :]
 
         @pl.when(j == SF0 + n_f - 1)
         def _mlp_finish():
@@ -741,10 +742,12 @@ def fused_stack_step(
 
     int4 MLP variant (opt-in, stack_decode_params(mlp_int4=True)): the
     stacked dict carries gate4/up4 [L,H/2,F] i8 (nibble-packed), gu_scale4
-    [L, 2 or 2*(H/g), F] f32, down4 [L,F/2,H] i8 (block-locally packed at
-    THIS kernel's block_f — see stack_mlp_block_f), down_scale4
-    [L, 1 or F/g, H] f32 — detected here from the key names and scale
-    shapes. Halves the MLP weight stream (the largest decode-byte item).
+    [L, 2 or 2*(H/g), F] f32, down4 [L,n_f,block_f/2,H] i8 (block-locally
+    packed at THIS kernel's block_f — see stack_mlp_block_f; the explicit
+    chunk dim lets the assert below catch a block_f drift), down_scale4
+    [L,1,H] or [L,n_f,block_f/g,H] f32 — detected here from the key names
+    and scale shapes. Halves the MLP weight stream (the largest
+    decode-byte item).
     """
     B, H = x.shape
     L = stacked["wq"].shape[0]
@@ -759,6 +762,14 @@ def fused_stack_step(
     n_f = F // block_f
     mlp4_group = None
     if mlp4:
+        # the down projection is packed BLOCK-LOCALLY at stacking time, so
+        # its arrays carry an explicit chunk dim ([L, n_f, block_f/2, H])
+        # — a block_f drift between stacking and this call (env change,
+        # different kwarg) would otherwise compute garbage silently
+        assert stacked["down4"].shape[1:] == (n_f, block_f // 2, H), (
+            f"stacked int4 down packing {stacked['down4'].shape} does not "
+            f"match this call's MLP chunking (n_f={n_f}, block_f={block_f})"
+            " — restack with the same VLM_BRIDGE_STACK_BLOCK_F / block_f")
         # group size is recoverable from the scale shapes alone (no static
         # metadata survives a jit-traced pytree): grouped gate/up scales
         # are [L, 2*(H/g), F]; per-channel ones are [L, 2, F]
@@ -769,7 +780,8 @@ def fused_stack_step(
                 (block_f // 2) % mlp4_group == 0, (
                     f"int4 group {mlp4_group} must divide H/2={H // 2} and "
                     f"block_f/2={block_f // 2}")
-            assert stacked["down_scale4"].shape[1] == F // mlp4_group
+            assert stacked["down_scale4"].shape[1:] == (
+                n_f, block_f // mlp4_group, H)
     block_proj = int(os.environ.get("VLM_BRIDGE_STACK_BLOCK_PROJ",
                                     block_proj))
     bq = _pick_block(QHD, block_proj, D)
@@ -815,6 +827,16 @@ def fused_stack_step(
             return (layer, c, 0) if dim0_is_chunk else (layer, 0, c)
         return ix
 
+    def grp4(j0, n):
+        """grp() for the 4-D int4 down layouts [L, n_f, rows, H]."""
+        def ix(i, j, t_s):
+            on = j >= j0
+            layer = jnp.where(on, i, jnp.maximum(i - 1, 0))
+            c = jnp.where(on, jnp.clip(j - j0, 0, n - 1),
+                          jnp.where(i == 0, 0, n - 1))
+            return (layer, c, 0, 0)
+        return ix
+
     grid = (L, SF0 + n_f)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -839,17 +861,22 @@ def fused_stack_step(
             pl.BlockSpec((1, num_kv_heads, B, S), at_step(SA, 0, 0, 0)),
         ] + ([
             # int4 MLP: gate/up packed [L, H/2, F], combined gate|up scales
-            # [L, 2 or 2*(H/g), F], down block-locally packed [L, F/2, H],
-            # down scales [L, 1 or F/g, H]
+            # [L, 2 or 2*(H/g), F], down block-locally packed with an
+            # explicit chunk dim [L, n_f, block_f/2, H], down scales
+            # [L, 1, H] or [L, n_f, block_f/g, H]. The 4-D layouts keep
+            # every block's second-minor dim either 8-aligned or the full
+            # array extent (probed Mosaic requirement) AND shape-encode
+            # block_f so a stale stack fails the assert above instead of
+            # computing garbage.
             pl.BlockSpec((1, H // 2, block_f), grp(SF0, n_f, False)),
             pl.BlockSpec((1, H // 2, block_f), grp(SF0, n_f, False)),
             pl.BlockSpec((1, stacked["gu_scale4"].shape[1], block_f),
                          grp(SF0, n_f, False)),
-            pl.BlockSpec((1, block_f // 2, H), grp(SF0, n_f, True)),
+            pl.BlockSpec((1, 1, block_f // 2, H), grp4(SF0, n_f)),
             (pl.BlockSpec((1, 1, H), at_step(SF0, 0, 0))
              if mlp4_group is None else
-             pl.BlockSpec((1, block_f // mlp4_group, H),
-                          grp(SF0, n_f, True))),
+             pl.BlockSpec((1, 1, block_f // mlp4_group, H),
+                          grp4(SF0, n_f))),
         ] if mlp4 else [
             pl.BlockSpec((1, H, block_f), grp(SF0, n_f, False)),
             pl.BlockSpec((1, H, block_f), grp(SF0, n_f, False)),
