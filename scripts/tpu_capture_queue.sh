@@ -15,61 +15,105 @@
 #   7. int4 nibble-packed MLP vs int8 same-trace A/B at the decode shape
 #   8. int4 whole-stack decode A/B (generate end-to-end, same process)
 #   9. 9B int4 decode (nibble-packed MLP + head on the streamed build)
+#
+# RESUMABLE: a step whose artifact already exists and parses cleanly (no
+# "error" field) is skipped, so a mid-queue tunnel drop costs only the
+# steps that had not landed — the watcher's retry picks up where the last
+# attempt died instead of redoing ~2 h of captures.
 set -u
 cd "$(dirname "$0")/.."
 PERF="${1:-perf}"
 mkdir -p "$PERF"
 STAMP=$(date -u +%Y%m%dT%H%M%S)
 
-echo "== 1. default bench (train + 2B fused decode) =="
-timeout 2400 python bench.py | tee "$PERF/bench_r4_default.json"
-# decode-only view of the same recipe for the named artifact the verdict asks for
-timeout 1800 python bench.py --skip-train | tee "$PERF/decode_2b_batch64_fused.json"
+have() {
+    # valid artifact = file exists, last non-empty line is JSON, no "error".
+    # python3 explicitly: the queue's execution test mocks `python` on PATH,
+    # and this helper must evaluate REAL artifact state either way
+    python3 - "$1" <<'PY'
+import json, sys
+try:
+    text = open(sys.argv[1]).read()
+    lines = [l for l in text.splitlines() if l.strip()]
+    try:
+        d = json.loads(lines[-1])   # one-line artifacts (bench, A/B scripts)
+    except Exception:
+        d = json.loads(text)        # indented artifacts (vlm-eval --output)
+    sys.exit(0 if (isinstance(d, dict) and d and "error" not in d) else 1)
+except Exception:
+    sys.exit(1)
+PY
+}
 
-echo "== 2. 9B fused-stack decode =="
-timeout 2400 python bench.py --preset gemma2_9b --decode-batch 32 \
-    | tee "$PERF/decode_9b_batch32_fused.json"
+step() {  # step <artifact> <desc> -> 0 if the step should RUN
+    if have "$PERF/$1"; then
+        echo "== SKIP $2 ($1 already captured) =="
+        return 1
+    fi
+    echo "== $2 =="
+    return 0
+}
 
-echo "== 3. encoder projection micro A/B =="
-timeout 1800 python scripts/encoder_mm_ab.py --micro --batch 64 \
-    --output "$PERF/encoder_mm_micro.json"
-
-echo "== 4. full-encode A/B (set blocks from step 3's best) =="
-BLOCKS_M="${BLOCKS_M:-512}"
-BLOCKS_N="${BLOCKS_N:-256}"
-timeout 1200 python scripts/encoder_mm_ab.py --batch 64 \
-    --block-m "$BLOCKS_M" --block-n "$BLOCKS_N" \
-    --output "$PERF/encoder_mm_full.json"
-
-echo "== 5. end-to-end vlm-eval (synthetic split, serving recipe) =="
-EVAL_DATA="${EVAL_DATA:-/tmp/vlm-eval-synth}"
-if [ ! -f "$EVAL_DATA/test/captions.jsonl" ]; then
-    timeout 900 vlm-data synth --output-dir "$EVAL_DATA" --num-samples 3000 \
-        --platform cpu
+if step bench_r4_default.json "1. default bench (train + 2B fused decode)"; then
+    timeout 2400 python bench.py | tee "$PERF/bench_r4_default.json"
 fi
-# pixel cache: without it the 1-core host JPEG path (~90 images/s) is the
-# eval bottleneck, below the ~165 captions/s the decode kernels sustain
-timeout 900 vlm-data precache --data-dir "$EVAL_DATA" --split test \
-    --platform cpu
-timeout 2400 vlm-eval --data-dir "$EVAL_DATA" --split test --batch-size 64 \
-    --max-length 50 --quantize embedding,mlp,attn,bridge --kv-int8 \
-    --no-early-stop --output "$PERF/eval_e2e.json"
+# decode-only view of the same recipe for the named artifact the verdict asks for
+if step decode_2b_batch64_fused.json "1b. 2B fused decode (named artifact)"; then
+    timeout 1800 python bench.py --skip-train | tee "$PERF/decode_2b_batch64_fused.json"
+fi
 
-echo "== 6. early-stop decode bound (while_loop overhead + short-scan) =="
-timeout 1800 python scripts/early_stop_ab.py --batch 64 --len 50 \
-    --short-len 25 --output "$PERF/early_stop_ab.json"
+if step decode_9b_batch32_fused.json "2. 9B fused-stack decode"; then
+    timeout 2400 python bench.py --preset gemma2_9b --decode-batch 32 \
+        | tee "$PERF/decode_9b_batch32_fused.json"
+fi
 
-echo "== 7. int4 MLP probe (nibble-packed weights vs int8, decode shape) =="
-timeout 1800 python scripts/int4_mlp_probe.py \
-    --output "$PERF/int4_mlp_probe.json"
+if step encoder_mm_micro.json "3. encoder projection micro A/B"; then
+    timeout 1800 python scripts/encoder_mm_ab.py --micro --batch 64 \
+        --output "$PERF/encoder_mm_micro.json"
+fi
 
-echo "== 8. int4 whole-stack decode A/B (int8 vs int4 MLP, same process) =="
-timeout 2400 python scripts/int4_stack_ab.py --batch 64 --len 50 \
-    --output "$PERF/int4_stack_ab.json"
+if step encoder_mm_full.json "4. full-encode A/B (set blocks from step 3's best)"; then
+    BLOCKS_M="${BLOCKS_M:-512}"
+    BLOCKS_N="${BLOCKS_N:-256}"
+    timeout 1200 python scripts/encoder_mm_ab.py --batch 64 \
+        --block-m "$BLOCKS_M" --block-n "$BLOCKS_N" \
+        --output "$PERF/encoder_mm_full.json"
+fi
 
-echo "== 9. 9B int4 decode (MLP+head at 4 bits; largest byte win) =="
-timeout 2400 python bench.py --preset gemma2_9b --decode-batch 32 \
-    --mlp-int4 --quantize embedding4,mlp,attn,bridge \
-    | tee "$PERF/decode_9b_batch32_int4.json"
+if step eval_e2e.json "5. end-to-end vlm-eval (synthetic split, serving recipe)"; then
+    EVAL_DATA="${EVAL_DATA:-/tmp/vlm-eval-synth}"
+    if [ ! -f "$EVAL_DATA/test/captions.jsonl" ]; then
+        timeout 900 vlm-data synth --output-dir "$EVAL_DATA" --num-samples 3000 \
+            --platform cpu
+    fi
+    # pixel cache: without it the 1-core host JPEG path (~90 images/s) is the
+    # eval bottleneck, below the ~165 captions/s the decode kernels sustain
+    timeout 900 vlm-data precache --data-dir "$EVAL_DATA" --split test \
+        --platform cpu
+    timeout 2400 vlm-eval --data-dir "$EVAL_DATA" --split test --batch-size 64 \
+        --max-length 50 --quantize embedding,mlp,attn,bridge --kv-int8 \
+        --no-early-stop --output "$PERF/eval_e2e.json"
+fi
+
+if step early_stop_ab.json "6. early-stop decode bound (while_loop overhead + short-scan)"; then
+    timeout 1800 python scripts/early_stop_ab.py --batch 64 --len 50 \
+        --short-len 25 --output "$PERF/early_stop_ab.json"
+fi
+
+if step int4_mlp_probe.json "7. int4 MLP probe (nibble-packed weights vs int8, decode shape)"; then
+    timeout 1800 python scripts/int4_mlp_probe.py \
+        --output "$PERF/int4_mlp_probe.json"
+fi
+
+if step int4_stack_ab.json "8. int4 whole-stack decode A/B (int8 vs int4 MLP, same process)"; then
+    timeout 2400 python scripts/int4_stack_ab.py --batch 64 --len 50 \
+        --output "$PERF/int4_stack_ab.json"
+fi
+
+if step decode_9b_batch32_int4.json "9. 9B int4 decode (MLP+head at 4 bits; largest byte win)"; then
+    timeout 2400 python bench.py --preset gemma2_9b --decode-batch 32 \
+        --mlp-int4 --quantize embedding4,mlp,attn,bridge \
+        | tee "$PERF/decode_9b_batch32_int4.json"
+fi
 
 echo "== queue done ($STAMP) — commit the $PERF artifacts =="

@@ -136,3 +136,50 @@ def test_queue_flags_exist_in_real_parsers(queue_run):
             if tok.startswith("--"):
                 assert tok in declared, (
                     f"{target} no longer declares {tok} (queue drift)")
+
+
+def test_queue_resumes_without_redoing_captured_steps(queue_run, tmp_path):
+    """A retry after a mid-queue tunnel drop must skip steps whose
+    artifacts already landed (each capture costs up to ~40 min on chip)."""
+    calls_first, perf = queue_run
+    # second run over the SAME perf dir: everything already captured
+    bin_dir = tmp_path / "bin"
+    log = tmp_path / "calls.log"
+    n_first = len(log.read_text().strip().splitlines())
+    env = dict(os.environ)
+    env["PATH"] = f"{bin_dir}:{env['PATH']}"
+    env["EVAL_DATA"] = str(tmp_path / "eval-data")
+    r = subprocess.run(["bash", str(QUEUE), str(perf)], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    n_second = len(log.read_text().strip().splitlines())
+    assert n_second == n_first, "a captured step re-ran on resume"
+    assert r.stdout.count("SKIP") >= 9, r.stdout
+
+    # partial resume: drop ONE artifact -> exactly that step re-runs
+    (perf / "int4_stack_ab.json").unlink()
+    r = subprocess.run(["bash", str(QUEUE), str(perf)], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    new_calls = log.read_text().strip().splitlines()[n_second:]
+    assert len(new_calls) == 1 and "int4_stack_ab.py" in new_calls[0], \
+        new_calls
+
+
+def test_queue_retries_error_artifacts(queue_run, tmp_path):
+    """An artifact carrying an 'error' field (bench's outage JSON) does not
+    count as captured — the retry must redo that step."""
+    _, perf = queue_run
+    (perf / "decode_9b_batch32_fused.json").write_text(
+        '{"error": "backend unavailable", "metric": "decode"}\n')
+    bin_dir = tmp_path / "bin"
+    log = tmp_path / "calls.log"
+    n0 = len(log.read_text().strip().splitlines())
+    env = dict(os.environ)
+    env["PATH"] = f"{bin_dir}:{env['PATH']}"
+    env["EVAL_DATA"] = str(tmp_path / "eval-data")
+    r = subprocess.run(["bash", str(QUEUE), str(perf)], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    new_calls = log.read_text().strip().splitlines()[n0:]
+    assert len(new_calls) == 1 and "gemma2_9b" in new_calls[0], new_calls
