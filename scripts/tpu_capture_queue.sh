@@ -15,6 +15,7 @@
 #   7. int4 nibble-packed MLP vs int8 same-trace A/B at the decode shape
 #   8. int4 whole-stack decode A/B (generate end-to-end, same process)
 #   9. 9B int4 decode (nibble-packed MLP + head on the streamed build)
+#  10. decode batch sweep 64 vs 96 (same process, shared stacked weights)
 #
 # RESUMABLE: a step whose artifact already exists and parses cleanly (no
 # "error" field) is skipped, so a mid-queue tunnel drop costs only the
@@ -114,6 +115,11 @@ if step decode_9b_batch32_int4.json "9. 9B int4 decode (MLP+head at 4 bits; larg
     timeout 2400 python bench.py --preset gemma2_9b --decode-batch 32 \
         --mlp-int4 --quantize embedding4,mlp,attn,bridge \
         | tee "$PERF/decode_9b_batch32_int4.json"
+fi
+
+if step batch_sweep.json "10. decode batch sweep (64 vs 96 — the unmeasured gap below 128)"; then
+    timeout 1800 python scripts/batch_sweep.py --batches 64,96 --len 50 \
+        --output "$PERF/batch_sweep.json"
 fi
 
 echo "== queue done ($STAMP) — commit the $PERF artifacts =="

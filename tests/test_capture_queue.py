@@ -82,6 +82,7 @@ def test_queue_invocation_order(queue_run):
         ("python", "int4_mlp_probe.py"),
         ("python", "int4_stack_ab.py"),
         ("python bench.py", "--mlp-int4"),
+        ("python", "batch_sweep.py"),
     ]
     assert len(seq) == len(expect), seq
     for call, (prefix, must_contain) in zip(seq, expect):
@@ -123,6 +124,8 @@ def test_queue_flags_exist_in_real_parsers(queue_run):
             REPO / "scripts" / "early_stop_ab.py"),
         "int4_stack_ab.py": _harvest_flags(
             REPO / "scripts" / "int4_stack_ab.py"),
+        "batch_sweep.py": _harvest_flags(
+            REPO / "scripts" / "batch_sweep.py"),
     }
     for call in calls:
         toks = call.split()
