@@ -326,11 +326,23 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
     # fused Pallas path fails to compile (Mosaic regressions are shape-
     # dependent), fall back to the jnp int8 path so the bench still
     # produces a number — and says so in the artifact.
+    def log_mem(tag):
+        try:
+            st = jax.devices()[0].memory_stats() or {}
+            print(f"[mem] {tag}: in_use="
+                  f"{st.get('bytes_in_use', 0) / 1e9:.2f} GB, peak="
+                  f"{st.get('peak_bytes_in_use', 0) / 1e9:.2f} GB, limit="
+                  f"{st.get('bytes_limit', 0) / 1e9:.2f} GB", file=sys.stderr)
+        except Exception:
+            pass  # axon may not expose memory_stats; purely diagnostic
+
+    log_mem("after params build")
     fused_fallback = False
     try:
         toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
         np.asarray(toks)
     except Exception as e:
+        log_mem("at fused-path failure")
         print(f"[bench] fused decode path failed "
               f"({type(e).__name__}: {str(e)[:400]}) — falling back to the "
               f"jnp int8 path", file=sys.stderr)
@@ -342,6 +354,16 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         import dataclasses
 
         gen = dataclasses.replace(gen, force_jnp=True)
+        # free the failed attempt's params BEFORE rebuilding: at 9B the
+        # stacked tree is ~10 GB, and rebuilding while it is still
+        # referenced doubles the footprint — the fallback itself then dies
+        # on ResourceExhausted (observed: even jax.random.key OOM'd)
+        import gc
+
+        del params
+        if "toks" in dir():
+            del toks
+        gc.collect()
         params = build_params(prestack=False, force_jnp=True)
         toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
         np.asarray(toks)
