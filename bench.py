@@ -29,6 +29,15 @@ A100_BS8_SAMPLES_PER_SEC = 41880 / (2.5 * 3600)  # 4.653
 RTX4080_CAPTIONS_PER_SEC = 7.5  # "~5-10 captions/s" (README.md:282-284)
 
 
+class FallbackNeedsFreshProcess(RuntimeError):
+    """The fused decode attempt failed AND the in-process jnp fallback
+    failed too. Observed on axon at 9B: after an execution OOM the client
+    cannot reclaim the chip's HBM (even jax.random.key raises
+    ResourceExhausted post-del/gc), so the only working fallback is a fresh
+    process = fresh TPU client. main() catches this and re-execs bench
+    pinned to the jnp path."""
+
+
 def wait_for_backend(platform: str | None) -> dict:
     """Bounded availability gate (round-3 verdict #1).
 
@@ -304,6 +313,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
 
         cache_rows = gemma2.fused_cache_rows(max_length + 1)
         if (prestack and kv_quant
+                and not os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP")
                 and (_use_pallas() or decode_kernels.INTERPRET)
                 and cache_rows <= cfg.lm.sliding_window
                 and gemma2.supports_fused_decode(
@@ -337,7 +347,9 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
             pass  # axon may not expose memory_stats; purely diagnostic
 
     log_mem("after params build")
-    fused_fallback = False
+    # a FORCE_JNP child (fresh-process fallback) never attempts the fused
+    # path at all — the artifact must still say the number is the jnp path
+    fused_fallback = bool(os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP"))
     try:
         toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
         np.asarray(toks)
@@ -364,9 +376,20 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         if "toks" in dir():
             del toks
         gc.collect()
-        params = build_params(prestack=False, force_jnp=True)
-        toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
-        np.asarray(toks)
+        try:
+            params = build_params(prestack=False, force_jnp=True)
+            toks, _ = generate_tokens(params, cfg, pixel_values=pixels,
+                                      gen=gen)
+            np.asarray(toks)
+        except Exception as e2:
+            # the in-process fallback died too — on axon a failed execution
+            # leaves the client unable to allocate AT ALL (observed at 9B:
+            # jax.random.key OOM'd right after del+gc of the 10 GB tree).
+            # Only a fresh process (fresh TPU client) actually releases the
+            # chip; signal main() to re-exec pinned to the jnp path.
+            raise FallbackNeedsFreshProcess(
+                f"fused: {type(e).__name__}: {str(e)[:200]}; fallback: "
+                f"{type(e2).__name__}: {str(e2)[:200]}") from e2
 
     # latency: fence every rep — each batch pays the full dispatch+tunnel
     # round trip (what one caller sees for one batch)
@@ -400,6 +423,8 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
         "decode_batch_time_s": dt,
         "decode_batch_latency_s": lat,
         "decode_fused_fallback": fused_fallback,
+        "decode_fallback_subprocess": bool(
+            os.environ.get("VLM_BRIDGE_BENCH_SUBPROC")),
         "decode_mlp_int4": mlp_int4,
     }
 
@@ -482,6 +507,21 @@ def main():
         # a deliberate abort must keep interrupt semantics, not masquerade
         # as a backend-failure artifact in perf/
         raise
+    except FallbackNeedsFreshProcess as e:
+        if os.environ.get("VLM_BRIDGE_BENCH_SUBPROC"):
+            # the fresh process failed too — give up with a parseable
+            # artifact (no infinite re-exec loop)
+            emit_error_json(args, f"{type(e).__name__}: {str(e)[:400]}")
+            raise SystemExit(1)
+        import subprocess
+
+        print(f"[bench] {e}\n[bench] re-running in a fresh process (fresh "
+              f"TPU client) pinned to the jnp decode path", file=sys.stderr)
+        env = dict(os.environ, VLM_BRIDGE_DEBUG_FORCE_JNP="1",
+                   VLM_BRIDGE_BENCH_SUBPROC="1")
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)]
+                             + sys.argv[1:], env=env)
+        raise SystemExit(rc)
     except BaseException as e:
         import traceback
 

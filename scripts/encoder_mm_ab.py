@@ -122,7 +122,9 @@ def micro(args):
             row["speedup"] = round(t_xla / best[0], 3)
         out.append(row)
         print(json.dumps(row), flush=True)
-    return out
+    # dict-shaped so the capture queue's validity check (isinstance dict,
+    # no "error" key) recognizes the artifact and skips the step on resume
+    return {"mode": "micro", "batch": args.batch, "rows": out}
 
 
 def full_encode(args):

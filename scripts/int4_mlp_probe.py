@@ -133,8 +133,8 @@ def main():
     print(f"rel output err vs f32: int8={rel8:.4f} int4={rel4:.4f} "
           f"int4_g{G}={rel4g:.4f}", file=sys.stderr)
 
-    @functools.partial(jax.jit, static_argnames=("which",))
-    def run(x, stack, which):
+    @functools.partial(jax.jit, static_argnames=("which", "tokens"))
+    def run(x, stack, which, tokens):
         def token(x, _):
             def layer(x, w):
                 if which == "int8":
@@ -148,30 +148,41 @@ def main():
                 return (x + 0.01 * y).astype(x.dtype), None
             x, _ = jax.lax.scan(layer, x, stack)
             return x, None
-        x, _ = jax.lax.scan(token, x, None, length=args.tokens)
+        x, _ = jax.lax.scan(token, x, None, length=tokens)
         return x
 
     variants = (("int8", stack8), ("int4", stack4),
                 ("int4_group", stack4g))
+    N = args.tokens
     for which, stack in variants:
         t0 = time.time()
-        np.asarray(run(x0, stack, which))
+        np.asarray(run(x0, stack, which, N))       # compile both loop
+        np.asarray(run(x0, stack, which, 2 * N))   # lengths up front
         print(f"{which} compile+warm {time.time() - t0:.0f}s",
               file=sys.stderr)
 
+    # Two-point (N, 2N) timing: on a tunneled device every host fence pays
+    # a ~25 ms RPC round trip — the same order as the ~50 ms loop under
+    # test, which would inflate both variants equally and bias the RATIO
+    # toward 1 (encoder_mm_ab.py records the same failure mode). The
+    # difference of the two runs cancels the constant dispatch+RTT+fence
+    # overhead exactly: per_token = (t_2N - t_N) / N.
     times = {which: [] for which, _ in variants}
     for rep in range(args.reps):
         for which, stack in variants:
             t0 = time.time()
-            np.asarray(run(x0, stack, which))
-            times[which].append(time.time() - t0)
+            np.asarray(run(x0, stack, which, N))
+            t1 = time.time()
+            np.asarray(run(x0, stack, which, 2 * N))
+            t2 = time.time()
+            times[which].append(((t2 - t1) - (t1 - t0)) / N)
         print(f"rep {rep}: " + " ".join(
-            f"{k}={v[-1] / args.tokens * 1e3:.2f}ms/tok"
-            for k, v in times.items()), file=sys.stderr)
+            f"{k}={v[-1] * 1e3:.2f}ms/tok" for k, v in times.items()),
+            file=sys.stderr)
 
-    med8 = float(np.median(times["int8"])) / args.tokens
-    med4 = float(np.median(times["int4"])) / args.tokens
-    med4g = float(np.median(times["int4_group"])) / args.tokens
+    med8 = float(np.median(times["int8"]))
+    med4 = float(np.median(times["int4"]))
+    med4g = float(np.median(times["int4_group"]))
     result = {
         "metric": "int4_mlp_speedup_vs_int8",
         "value": med8 / med4,
@@ -190,7 +201,8 @@ def main():
         "accepted": med8 / med4 >= 1.25,
         "accepted_group": med8 / med4g >= 1.25,
         "device": str(jax.devices()[0]),
-        "note": ("per-'token' time = one 26-layer MLP weight stream; "
+        "note": ("per-'token' time = one 26-layer MLP weight stream, "
+                 "two-point (N,2N) timing so the tunnel RTT cancels; "
                  "byte ratio is 2x on the MLP stream, accept >= 1.25x; "
                  "int4_group adds sub-channel scales (quality) at the cost "
                  "of per-group dots — serving integration would pick it "

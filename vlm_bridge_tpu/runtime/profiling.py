@@ -112,3 +112,28 @@ def annotate(name: str):
 
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+def host_rtt(reps: int = 7) -> float:
+    """Median seconds for one host->device dispatch + fence of a trivial
+    jitted op — the constant overhead every wall-timed device call pays.
+
+    On a tunneled device (axon) this is ~25 ms of RPC round trip, the same
+    order as a batch-64 decode step, so A/B scripts that wall-time full
+    calls must either difference two run lengths (two-point method,
+    scripts/encoder_mm_ab.py) or subtract this constant from absolute
+    throughputs. The reference never needed it: its GPU sits on PCIe.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    tiny = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((1,), jnp.float32)
+    np.asarray(tiny(x))  # compile outside the timed reps
+    samples = []
+    for _ in range(max(1, reps)):
+        t0 = time.monotonic()
+        np.asarray(tiny(x))
+        samples.append(time.monotonic() - t0)
+    return float(sorted(samples)[len(samples) // 2])
