@@ -449,6 +449,12 @@ def main():
     ap.add_argument("--no-loss-remat", action="store_true",
                     help="save per-chunk CE logits instead of recomputing "
                          "them in the backward")
+    ap.add_argument("--scan-layers", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="lax.scan over (sliding, global) LM layer pairs "
+                         "in the train forward: 2-layer trace instead of "
+                         "an unrolled 26-layer graph — the train-compile "
+                         "A/B lever (gemma2.stack_layers_for_scan)")
     ap.add_argument("--quantize", default="embedding,mlp,attn,bridge",
                     help="int8-quantize weight groups for the decode "
                          "bench: comma list of embedding,mlp,attn,bridge; "
@@ -549,6 +555,8 @@ def run(args):
         tc.remat_lm = False
     if args.no_loss_remat:
         tc.loss_remat = False
+    if args.scan_layers:
+        tc.scan_layers = True
 
     import jax
 
@@ -565,6 +573,7 @@ def run(args):
     }
 
     if not args.skip_train:
+        extras["train_scan_layers"] = tc.scan_layers
         extras.update(bench_train(cfg, tc, args.batch, args.seq, args.steps))
     if not args.skip_decode:
         if args.mlp_int4:

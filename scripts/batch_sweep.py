@@ -71,20 +71,25 @@ def main():
             run(b)
             times[b].append(time.time() - t0)
 
+    # Existing keys stay WALL-CLOCK (r3-comparable); rtt-adjusted device
+    # views get their own `_device` keys (advisor r4: don't change the
+    # meaning of headline keys mid-series).
     raw = {b: sorted(v)[len(v) // 2] for b, v in times.items()}
-    # subtract the constant tunnel dispatch+RTT (~25 ms, ~6% of a batch-64
-    # call) so the best-batch pick compares device time, not device+RPC
+    med = {b: max(t, 1e-9) for b, t in raw.items()}
     from vlm_bridge_tpu.runtime.profiling import host_rtt
 
     rtt_s = host_rtt()
-    med = {b: max(t - rtt_s, 1e-9) for b, t in raw.items()}
+    dev = {b: max(t - rtt_s, 1e-9) for b, t in raw.items()}
     out = {
         "len": args.len,
         "batches": batches,
         **{f"batch{b}_s": round(med[b], 4) for b in batches},
         **{f"batch{b}_captions_per_sec": round(b / med[b], 1)
            for b in batches},
+        **{f"batch{b}_captions_per_sec_device": round(b / dev[b], 1)
+           for b in batches},
         "best_batch": max(batches, key=lambda b: b / med[b]),
+        "best_batch_device": max(batches, key=lambda b: b / dev[b]),
         "host_rtt_s": round(rtt_s, 4),
         "raw_medians_s": {str(b): round(t, 4) for b, t in raw.items()},
         "all_s": {str(b): [round(t, 3) for t in v]

@@ -95,17 +95,20 @@ def main():
             f"{n}={times[n][-1] * 1e3:.0f}ms" for n in variants),
             file=sys.stderr)
 
+    # Headline keys stay WALL-CLOCK (r3-comparable); the rtt-adjusted
+    # device-time view gets `_device` keys. The while-scan DIFFERENCE
+    # cancels the constant dispatch+RTT either way.
     raw = {n: float(np.median(ts)) for n, ts in times.items()}
-    # On a tunneled device each timed call pays a constant dispatch+RTT
-    # (~25 ms) that the while-scan DIFFERENCE cancels but the absolute
-    # throughputs do not — subtract the measured constant so captions/s
-    # reflects device time (runtime/profiling.host_rtt).
+    med = {n: max(t, 1e-9) for n, t in raw.items()}
     from vlm_bridge_tpu.runtime.profiling import host_rtt
 
     rtt_s = host_rtt()
-    med = {n: max(t - rtt_s, 1e-9) for n, t in raw.items()}
+    dev = {n: max(t - rtt_s, 1e-9) for n, t in raw.items()}
     overhead_s = med["while_full"] - med["scan_full"]
     projected_s = med["scan_short"] + overhead_s * args.short_len / args.len
+    projected_dev_s = (dev["scan_short"]
+                       + (dev["while_full"] - dev["scan_full"])
+                       * args.short_len / args.len)
     result = {
         "metric": "early_stop_ab",
         "batch": args.batch,
@@ -123,6 +126,9 @@ def main():
         "scan_full_captions_per_s": args.batch / med["scan_full"],
         "projected_early_stop_captions_per_s": args.batch / projected_s,
         "projected_speedup": med["scan_full"] / projected_s,
+        "scan_full_captions_per_s_device": args.batch / dev["scan_full"],
+        "projected_early_stop_captions_per_s_device": (
+            args.batch / max(projected_dev_s, 1e-9)),
         "note": ("random weights: while_full runs all steps, so "
                  "while_full - scan_full is pure loop overhead; projection "
                  "assumes every caption ends by short_length"),

@@ -66,6 +66,8 @@ def single(args) -> dict:
         row["init_s"] = round(time.time() - t0, 1)
         gen = GenerationConfig(max_length=args.len, greedy=True,
                                kv_quant=True)
+        gen2 = GenerationConfig(max_length=2 * args.len, greedy=True,
+                                kv_quant=True)
         pixels = jax.numpy.asarray(
             np.random.default_rng(0).normal(
                 0, 1, (args.batch, cfg.image_size, cfg.image_size, 3)),
@@ -73,18 +75,33 @@ def single(args) -> dict:
         t0 = time.time()
         toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen)
         np.asarray(toks)
+        toks, _ = generate_tokens(params, cfg, pixel_values=pixels, gen=gen2)
+        np.asarray(toks)
         row["compile_warm_s"] = round(time.time() - t0, 1)
-        # two-point not needed: attribute pass/fail, and a per-token rate
-        # good to ~10% (the ~25 ms RTT sits on a >=1 s call at 9B widths)
-        t0 = time.time()
+        # Two-length timing (len, 2*len): the difference isolates the pure
+        # per-token decode rate, so the per-batch fixed cost (encoder +
+        # bridge + prefill + dispatch RTT) is counted ONCE in the caption
+        # projection instead of 5x (advisor r4: len=10 amortization bias).
+        t1s, t2s = [], []
         for _ in range(args.reps):
+            t0 = time.time()
             toks, _ = generate_tokens(params, cfg, pixel_values=pixels,
                                       gen=gen)
             np.asarray(toks)
-        dt = (time.time() - t0) / args.reps
+            t1s.append(time.time() - t0)
+            t0 = time.time()
+            toks, _ = generate_tokens(params, cfg, pixel_values=pixels,
+                                      gen=gen2)
+            np.asarray(toks)
+            t2s.append(time.time() - t0)
+        t1 = sorted(t1s)[len(t1s) // 2]
+        t2 = sorted(t2s)[len(t2s) // 2]
+        per_tok = max((t2 - t1) / args.len, 1e-9)
         row["ok"] = True
-        row["batch_s"] = round(dt, 3)
-        row["ms_per_token"] = round(dt / args.len * 1e3, 3)
+        row["batch_s"] = round(t1, 3)
+        row["batch_2len_s"] = round(t2, 3)
+        row["ms_per_token"] = round(per_tok * 1e3, 3)
+        row["fixed_s"] = round(max(t1 - per_tok * args.len, 0.0), 3)
     except Exception as e:  # noqa: BLE001 — the whole point is recording it
         row["ok"] = False
         row["error"] = f"{type(e).__name__}: {str(e)[:300]}"
@@ -100,7 +117,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--single", type=int, default=None,
                     help="internal: run one layer count in-process")
-    ap.add_argument("--step-timeout", type=float, default=1500.0)
+    ap.add_argument("--step-timeout", type=float, default=2100.0,
+                    help="per-layer-count subprocess budget (two compiled "
+                         "lengths + reps at 9B widths)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -108,6 +127,13 @@ def main():
         single(args)
         return 0
 
+    # the child must exercise the REAL fused path it is attributing — a
+    # leaked force-jnp/bench-subproc flag would fail every layer count at
+    # "stream init did not stack" and misdiagnose as a width refusal
+    child_env = {k: v for k, v in os.environ.items()
+                 if k not in ("VLM_BRIDGE_DEBUG_FORCE_JNP",
+                              "VLM_BRIDGE_BENCH_SUBPROC",
+                              "VLM_BRIDGE_DISABLE_PALLAS")}
     rows = []
     for n in [int(x) for x in args.layers.split(",")]:
         cmd = [sys.executable, os.path.abspath(__file__),
@@ -115,12 +141,26 @@ def main():
                "--len", str(args.len), "--reps", str(args.reps)]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=args.step_timeout, cwd=REPO)
-            line = [l for l in proc.stdout.splitlines() if l.strip()]
-            row = (json.loads(line[-1]) if line
-                   else {"layers": n, "ok": False,
-                         "error": f"no output, rc={proc.returncode}: "
-                                  f"{proc.stderr[-300:]}"})
+                                  timeout=args.step_timeout, cwd=REPO,
+                                  env=child_env)
+            row = None
+            # scan from the end for the first parseable JSON object —
+            # teardown/library noise after the row must not kill the
+            # bisection and lose all completed rows
+            for line in reversed(proc.stdout.splitlines()):
+                if not line.strip():
+                    continue
+                try:
+                    cand = json.loads(line)
+                except Exception:
+                    continue
+                if isinstance(cand, dict) and "layers" in cand:
+                    row = cand
+                    break
+            if row is None:
+                row = {"layers": n, "ok": False,
+                       "error": f"no JSON row, rc={proc.returncode}: "
+                                f"{proc.stderr[-300:]}"}
         except subprocess.TimeoutExpired:
             row = {"layers": n, "ok": False,
                    "error": f"timeout after {args.step_timeout:.0f}s"}
@@ -142,20 +182,25 @@ def main():
         diagnosis = "all layer counts pass — rerun the full bench"
     out = {"mode": "fused_9b_probe", "rows": rows, "diagnosis": diagnosis}
     if passing:
-        best = max(passing, key=lambda r: r["layers"])
-        # weight-stream-bound decode: per-token scales ~linearly in layers,
-        # plus the layer-independent head/embed/bridge share measured as the
-        # intercept when >=2 passing points exist
+        # weight-stream-bound decode: the PURE per-token rate (two-length
+        # difference, fixed cost excluded) scales ~linearly in layers; the
+        # per-batch fixed cost (encoder+bridge+prefill) also grows with
+        # layers (prefill) — extrapolate both, then count fixed ONCE per
+        # caption (advisor r4: the old len=10 projection counted it 5x)
         if len(passing) >= 2:
             a, b = sorted(passing, key=lambda r: r["layers"])[-2:]
-            slope = ((b["ms_per_token"] - a["ms_per_token"])
-                     / (b["layers"] - a["layers"]))
-            icept = b["ms_per_token"] - slope * b["layers"]
-            proj = icept + slope * 42
-            out["projected_42l_ms_per_token"] = round(proj, 3)
-            # captions/s at the standard 50-token caption
+            dl = b["layers"] - a["layers"]
+            tok_slope = (b["ms_per_token"] - a["ms_per_token"]) / dl
+            tok42 = (b["ms_per_token"] + tok_slope * (42 - b["layers"]))
+            fix_slope = (b.get("fixed_s", 0.0) - a.get("fixed_s", 0.0)) / dl
+            fix42 = max(
+                b.get("fixed_s", 0.0) + fix_slope * (42 - b["layers"]), 0.0)
+            caption_s = fix42 + tok42 / 1e3 * 50
+            out["projected_42l_ms_per_token"] = round(tok42, 3)
+            out["projected_42l_fixed_s"] = round(fix42, 3)
+            # captions/s at the standard 50-token caption, fixed cost once
             out["projected_42l_captions_per_sec"] = round(
-                args.batch / (proj / 1e3 * 50), 1)
+                args.batch / caption_s, 1)
     line = json.dumps(out)
     print(line)
     if args.output:

@@ -115,37 +115,47 @@ def main():
             run(name)
             times[name].append(time.time() - t0)
 
+    # Existing keys stay WALL-CLOCK (comparable with r3 artifacts and the
+    # bench headline); rtt-adjusted device-time views get their own
+    # `_device` keys. Subtracting the constant dispatch+RTT moves ratios
+    # AWAY from 1, so the accept gates stay on wall-clock (conservative).
     raw = {k: sorted(v)[len(v) // 2] for k, v in times.items()}
-    # subtract the constant tunnel dispatch+RTT: ~25 ms on a ~390 ms call
-    # is a 6% ratio bias toward 1 — the same order as the 1.08x/1.12x
-    # accept margins this A/B gates on
+    med = {k: max(t, 1e-9) for k, t in raw.items()}
     from vlm_bridge_tpu.runtime.profiling import host_rtt
 
     rtt_s = host_rtt()
-    med = {k: max(t - rtt_s, 1e-9) for k, t in raw.items()}
+    dev = {k: max(t - rtt_s, 1e-9) for k, t in raw.items()}
     out = {
         "batch": args.batch, "len": args.len, "group": group,
         **{f"{n}_batch_s": round(med[n], 4) for n in alive},
         **{f"{n}_captions_per_sec": round(args.batch / med[n], 1)
+           for n in alive},
+        **{f"{n}_captions_per_sec_device": round(args.batch / dev[n], 1)
            for n in alive},
         "host_rtt_s": round(rtt_s, 4),
         "raw_medians_s": {k: round(t, 4) for k, t in raw.items()},
         "token_agreement_vs_int8": agree,
         "all_s": {k: [round(t, 3) for t in v] for k, v in times.items()},
         "note": "same-process interleaved reps, pre-stacked weights all "
-                "variants; acceptance 1.08x (mlp) / 1.12x (mlp+head) "
-                "end-to-end. Serving adoption also needs the real-weight "
-                "quality gate (PARITY.md).",
+                "variants; headline keys are wall-clock (r3-comparable), "
+                "*_device keys subtract the measured tunnel RTT; "
+                "acceptance 1.08x (mlp) / 1.12x (mlp+head) on wall-clock. "
+                "Serving adoption also needs the real-weight quality gate "
+                "(PARITY.md).",
     }
     if errors:
         out["errors"] = errors
     if "int8" in med and "int4mlp" in med:
         out["speedup_int4mlp_vs_int8"] = round(
             med["int8"] / med["int4mlp"], 3)
+        out["speedup_int4mlp_vs_int8_device"] = round(
+            dev["int8"] / dev["int4mlp"], 3)
         out["accepted_mlp"] = med["int8"] / med["int4mlp"] >= 1.08
     if "int8" in med and "int4all" in med:
         out["speedup_int4all_vs_int8"] = round(
             med["int8"] / med["int4all"], 3)
+        out["speedup_int4all_vs_int8_device"] = round(
+            dev["int8"] / dev["int4all"], 3)
         out["accepted_all"] = med["int8"] / med["int4all"] >= 1.12
     line = json.dumps(out)
     print(line)

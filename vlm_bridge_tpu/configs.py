@@ -276,6 +276,13 @@ class TrainingConfig:
                                                  # reference's next-token leak + its
                                                  # train/serve mismatch (bridge.forward)
     remat_lm: bool = True                        # rematerialize frozen LM layers
+    scan_layers: bool = False                    # lax.scan over (sliding, global)
+                                                 # LM layer pairs: trace is 2
+                                                 # layers deep instead of an
+                                                 # unrolled 26/42-layer graph —
+                                                 # cuts the ~8 min/bucket train
+                                                 # compile (gemma2.
+                                                 # stack_layers_for_scan)
     seed: int = 0
     model_preset: str = "default"                # default | tiny_test
     hf_vision_path: Optional[str] = None         # local dir with safetensors

@@ -58,6 +58,17 @@ _LM_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"lm/layers/\d+/attn/o$", P("model", None)),
     (r"lm/layers/\d+/mlp/(gate|up)$", P(None, "model")),
     (r"lm/layers/\d+/mlp/down$", P("model", None)),
+    # scan layout (gemma2.stack_layers_for_scan): same specs shifted one
+    # axis right past the leading [num_layers//2] stack dim; "tail" is an
+    # unstacked single layer
+    (r"lm/layers_scan/[ab]/attn/[qkv]$", P(None, None, "model")),
+    (r"lm/layers_scan/[ab]/attn/o$", P(None, "model", None)),
+    (r"lm/layers_scan/[ab]/mlp/(gate|up)$", P(None, None, "model")),
+    (r"lm/layers_scan/[ab]/mlp/down$", P(None, "model", None)),
+    (r"lm/layers_scan/tail/attn/[qkv]$", P(None, "model")),
+    (r"lm/layers_scan/tail/attn/o$", P("model", None)),
+    (r"lm/layers_scan/tail/mlp/(gate|up)$", P(None, "model")),
+    (r"lm/layers_scan/tail/mlp/down$", P("model", None)),
     (r"lm/embedding$", P(None, None)),                   # replicated (tied head)
 )
 

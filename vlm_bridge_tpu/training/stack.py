@@ -105,6 +105,15 @@ def build_stack(
     state, opt = init_train_state(params, tc, steps_per_epoch)
     schedule = make_schedule(tc, steps_per_epoch)
 
+    if tc.scan_layers:
+        # re-lay the frozen LM for the lax.scan-over-layer-pairs forward
+        # BEFORE sharding so the TP rules apply to the stacked leaves
+        # (parallel/sharding._LM_TP_RULES layers_scan patterns). Decode
+        # consumers rebuild per-layer dicts via gemma2.unstack_scan_layers.
+        from vlm_bridge_tpu.models import gemma2
+
+        params = {**params, "lm": gemma2.stack_layers_for_scan(
+            params["lm"], cfg.lm, free_layers=True)}
     params = shard_params(mesh, params)
     frozen = split_frozen(params)
     state = TrainState(
