@@ -22,7 +22,8 @@ from vlm_bridge_tpu.tools.memorize import run_proof
 
 @pytest.mark.slow
 def test_train_checkpoint_caption_loop(tmp_path):
-    rec = run_proof(tmp_path, num_epochs=60, verbose=True)
+    rec = run_proof(tmp_path, num_epochs=60, verbose=True,
+                    recipes=("bf16", "int8", "int4"))
 
     mismatches = [r for r in rec["captions"] if not r["exact"]]
     assert not mismatches, (
@@ -33,3 +34,14 @@ def test_train_checkpoint_caption_loop(tmp_path):
     # the metrics harness scores the real generated text
     assert rec["metrics"]["bleu4"] > 0.99, rec["metrics"]
     assert rec["metrics"]["bleu1"] > 0.99, rec["metrics"]
+
+    # quantized serving recipes on the SAME trained checkpoint, decoded
+    # through the fused whole-stack kernels (interpret mode): the int8/int4
+    # quality gates get a trained-model data point (r4 verdict next #5).
+    # Captured r5 artifact: 8/8 exact for all three recipes
+    # (perf/memorization_proof.json).
+    int8 = rec["recipes"]["int8"]
+    assert int8["exact_matches"] == int8["total"], int8["captions"]
+    int4 = rec["recipes"]["int4"]
+    assert int4["exact_matches"] >= int4["total"] - 1, int4["captions"]
+    assert int4["metrics"]["bleu4"] > 0.9, int4["metrics"]

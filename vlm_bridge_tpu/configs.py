@@ -224,6 +224,30 @@ class VLMConfig:
             vision=DinoV2Config.tiny_test(), lm=Gemma2Config.tiny_test(),
             bridge=BridgeConfig.tiny_test(), image_size=70)
 
+    @staticmethod
+    def tiny_ref() -> "VLMConfig":
+        """Reference-instantiable tiny dims for the offline parity
+        rehearsal: the ACTUAL reference FullModel class (reference
+        full_model.py:33-80) builds its BridgeLite from the loaded models'
+        output dims with num_heads_self hardcoded to 18 and num_heads_cross
+        defaulting to 8, so language_dim must divide both (72 works); the
+        vision tower runs the real 224/14 grid so the reference's
+        BitImageProcessor path and our host_resize_crop see identical
+        geometry (tests/test_full_flow_rehearsal.py)."""
+        vision = DinoV2Config(
+            hidden_size=32, num_layers=2, num_heads=4, mlp_ratio=2,
+            patch_size=14, image_size=224)
+        lm = Gemma2Config(
+            vocab_size=512, hidden_size=72, intermediate_size=144,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+            sliding_window=8, query_pre_attn_scalar=16.0,
+            max_position_embeddings=128)
+        bridge = BridgeConfig(
+            vision_dim=32, language_dim=72, num_blocks=2,
+            num_heads_cross=8, num_heads_self=18, ffn_mult=4)
+        return VLMConfig(vision=vision, lm=lm, bridge=bridge,
+                         image_size=224)
+
 
 # ---------------------------------------------------------------------------
 # Training config (YAML schema parity with the reference)
@@ -342,6 +366,14 @@ class TrainingConfig:
     def model_config(self) -> VLMConfig:
         if self.model_preset == "tiny_test":
             return VLMConfig.tiny_test()
+        if self.model_preset == "tiny_test_wide":
+            # tiny dims with a sliding window that never binds at caption
+            # lengths — qualifies the fused (interpret-mode) decode stack so
+            # the memorization proof can score the QUANTIZED serving recipes
+            # through the real kernels (tools/memorize.run_proof)
+            base = VLMConfig.tiny_test()
+            return dataclasses.replace(
+                base, lm=dataclasses.replace(base.lm, sliding_window=128))
         if self.model_preset == "gemma2_9b":
             return VLMConfig.gemma2_9b()
         if self.model_preset == "gemma2_27b":

@@ -793,11 +793,15 @@ def is_quantized_int4(w) -> bool:
 def unpack_int4(packed: jax.Array):
     """int8 [K/2, ...] -> (lo, hi) int8 nibbles, sign-extended.
 
-    lo avoids a left shift (where-select on the sign bit); hi is one
-    arithmetic right shift — both plain VPU elementwise ops.
+    Pure shifts: `(w << 4) >> 4` sign-extends the low nibble (the left
+    shift wraps mod 2^8, the right shift is arithmetic on int8) and
+    `w >> 4` the high one. The earlier where(lo >= 8, lo - 16, lo) select
+    could not compile ON CHIP: v5e Mosaic rejects vector int8 comparisons
+    ("Target does not support this comparison" on `arith.cmpi` over
+    vector<...xi8>, observed in the r5 capture) even though interpret mode
+    accepted them — shifts are plain VPU elementwise ops on both.
     """
-    lo_u = jnp.bitwise_and(packed, 0x0F)
-    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.int8)
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4).astype(jnp.int8)
     hi = jnp.right_shift(packed, 4).astype(jnp.int8)  # arithmetic on int8
     return lo, hi
 

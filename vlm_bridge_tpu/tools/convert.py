@@ -34,14 +34,14 @@ def main(argv=None) -> int:
     p_i.add_argument("out_dir", help="checkpoint store directory")
     p_i.add_argument("--slot", default="imported")
     p_i.add_argument("--preset", default="default",
-                     choices=["default", "tiny", "gemma2_9b"])
+                     choices=["default", "tiny", "tiny_ref", "gemma2_9b"])
 
     p_e = sub.add_parser("orbax-to-pth", help="Orbax slot -> reference .pth")
     p_e.add_argument("store_dir", help="checkpoint store directory")
     p_e.add_argument("out_pth", help="output .pth path")
     p_e.add_argument("--slot", default="best_weights_only")
     p_e.add_argument("--preset", default="default",
-                     choices=["default", "tiny", "gemma2_9b"])
+                     choices=["default", "tiny", "tiny_ref", "gemma2_9b"])
 
     p_s = sub.add_parser("show", help="print a .pth checkpoint's layout")
     p_s.add_argument("pth")
@@ -56,6 +56,7 @@ def main(argv=None) -> int:
 
     def bridge_cfg(preset):
         presets = {"default": VLMConfig.default, "tiny": VLMConfig.tiny_test,
+                   "tiny_ref": VLMConfig.tiny_ref,
                    "gemma2_9b": VLMConfig.gemma2_9b}
         return presets[preset]().bridge
 

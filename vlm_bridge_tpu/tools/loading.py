@@ -20,7 +20,12 @@ def add_model_args(ap) -> None:
                     help="local HF snapshot of google/gemma-2-2b")
     ap.add_argument("--tokenizer-path", default=None)
     ap.add_argument("--preset", default="default",
-                    choices=["default", "tiny", "gemma2_9b", "gemma2_27b"])
+                    choices=["default", "tiny", "tiny_ref", "gemma2_9b",
+                             "gemma2_27b"])
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="frozen-weight dtype for HF snapshot loads (f32 "
+                         "for token-for-token parity checks; bf16 is the "
+                         "serving default)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (CPU smoke runs)")
     ap.add_argument("--quantize", default=None,
@@ -54,21 +59,26 @@ def load_from_args(args):
     from vlm_bridge_tpu.models import full_model
 
     presets = {"default": VLMConfig.default, "tiny": VLMConfig.tiny_test,
+               "tiny_ref": VLMConfig.tiny_ref,
                "gemma2_9b": VLMConfig.gemma2_9b,
                "gemma2_27b": VLMConfig.gemma2_27b}
     cfg = presets[args.preset]()
     params = full_model.init(jax.random.key(0), cfg)
 
+    import jax.numpy as jnp
+
+    dtype = (jnp.float32 if getattr(args, "dtype", "bf16") == "f32"
+             else jnp.bfloat16)
     if args.hf_vision_path:
         from vlm_bridge_tpu.params.hf_loader import load_dinov2
 
         params["vision"] = load_dinov2(
-            args.hf_vision_path, cfg.vision,
+            args.hf_vision_path, cfg.vision, dtype=dtype,
             target_grids=(cfg.image_size // cfg.vision.patch_size,))
     if args.hf_lm_path:
         from vlm_bridge_tpu.params.hf_loader import load_gemma2
 
-        params["lm"] = load_gemma2(args.hf_lm_path, cfg.lm)
+        params["lm"] = load_gemma2(args.hf_lm_path, cfg.lm, dtype=dtype)
     if args.checkpoint:
         from vlm_bridge_tpu.runtime.checkpoint import CheckpointStore
 

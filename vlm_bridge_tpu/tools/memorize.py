@@ -81,13 +81,25 @@ def build_memorization_dataset(
 def run_proof(
     workdir: str | Path, *, num_epochs: int = 60, learning_rate: float = 3e-3,
     embed_scale: float = 25.0, captions=CAPTIONS8, max_length: int = 32,
-    verbose: bool = True,
+    verbose: bool = True, recipes: tuple = ("bf16",),
 ) -> Dict[str, object]:
     """Train tiny preset to memorize `captions`; return the proof record.
 
     Returns a dict with per-caption exact-match results, the best-checkpoint
     val loss, and the evaluate_split metrics (bleu4 etc.). Raises nothing on
     mismatch — callers assert on the fields so failures show the captions.
+
+    recipes: decode recipes to score on the SAME trained checkpoint —
+      "bf16"  the unquantized fast path (the original proof)
+      "int8"  the full int8 serving recipe (embedding/mlp/attn/bridge int8
+              + int8 KV cache), through the fused whole-stack kernels in
+              interpret mode on CPU
+      "int4"  int8 recipe + nibble-packed int4 MLP weights and int4
+              rows-packed embedding/head (the largest-byte-win experiment)
+    Quantized recipes give the int8/int4 quality gates a TRAINED-model data
+    point instead of Gaussian-init error figures (round-4 verdict next #5);
+    they use the tiny_test_wide preset so the fused decode's cache-rows
+    precondition holds at the proof's caption length.
     """
     import jax
     import jax.numpy as jnp
@@ -108,9 +120,15 @@ def run_proof(
     data_dir = workdir / "data"
     build_memorization_dataset(data_dir, captions=captions)
 
+    unknown = set(recipes) - {"bf16", "int8", "int4"}
+    if unknown:
+        raise ValueError(f"unknown recipes: {sorted(unknown)}")
+    quantized = [r for r in recipes if r != "bf16"]
+
     K = len(captions)
     tc = TrainingConfig(
-        model_preset="tiny_test", data_dir=str(data_dir), batch_size=K,
+        model_preset="tiny_test_wide" if quantized else "tiny_test",
+        data_dir=str(data_dir), batch_size=K,
         num_epochs=num_epochs, learning_rate=learning_rate,
         min_lr=learning_rate, scheduler_type="constant", weight_decay=0.0,
         gradient_clip_val=1.0, loss_chunk_size=16,
@@ -140,32 +158,78 @@ def run_proof(
     idxs = [order[f"memo{i:03d}"] for i in range(K)]
     pixels = np.stack([ds.load_image(i) for i in idxs])
     pv = normalize_on_device(jnp.asarray(pixels), dtype=jnp.bfloat16)
-    gen = GenerationConfig(max_length=max_length, greedy=True)
-    toks, lengths = generate_tokens(proof_params, cfg, pixel_values=pv, gen=gen)
-    toks, lengths = np.asarray(toks), np.asarray(lengths)
-
     tok = ByteTokenizer()
-    results = []
-    for i, want in enumerate(captions):
-        got = tok.decode([int(x) for x in toks[i][1:lengths[i]]])
-        results.append({"want": want, "got": got, "exact": got == want})
-        if verbose:
-            mark = "OK " if got == want else "MISS"
-            print(f"[memorize {mark}] want={want!r} got={got!r}")
 
-    eval_out = evaluate_split(
-        proof_params, cfg, data_dir, tokenizer=tok, split="test",
-        batch_size=K, gen=gen, verbose=verbose)
+    def score(pp, gen, tag):
+        toks, lengths = generate_tokens(pp, cfg, pixel_values=pv, gen=gen)
+        toks, lengths = np.asarray(toks), np.asarray(lengths)
+        results = []
+        for i, want in enumerate(captions):
+            got = tok.decode([int(x) for x in toks[i][1:lengths[i]]])
+            results.append({"want": want, "got": got, "exact": got == want})
+            if verbose:
+                mark = "OK " if got == want else "MISS"
+                print(f"[memorize/{tag} {mark}] want={want!r} got={got!r}")
+        eval_out = evaluate_split(
+            pp, cfg, data_dir, tokenizer=tok, split="test",
+            batch_size=K, gen=gen, verbose=verbose)
+        return {
+            "captions": results,
+            "exact_matches": sum(r["exact"] for r in results),
+            "total": K,
+            "metrics": eval_out["metrics"],
+        }
 
+    def recipe_params_gen(name):
+        from vlm_bridge_tpu.models import bridge as bridge_mod
+        from vlm_bridge_tpu.models import gemma2
+
+        if name == "bf16":
+            return proof_params, GenerationConfig(
+                max_length=max_length, greedy=True)
+        qbridge = bridge_mod.quantize_decode_params(proof_params["bridge"])
+        # sub-channel group must divide the tiny FFN width
+        group = 16 if cfg.lm.intermediate_size < 256 else 128
+        if name == "int8":
+            qlm = gemma2.quantize_params(proof_params["lm"])
+            return ({**proof_params, "lm": qlm, "bridge": qbridge},
+                    GenerationConfig(max_length=max_length, greedy=True,
+                                     kv_quant=True))
+        qlm = gemma2.quantize_params(
+            proof_params["lm"], parts=("embedding4", "mlp", "attn"))
+        return ({**proof_params, "lm": qlm, "bridge": qbridge},
+                GenerationConfig(max_length=max_length, greedy=True,
+                                 kv_quant=True, mlp_int4=True,
+                                 mlp_int4_group=group))
+
+    per_recipe = {}
+    for name in recipes:
+        if name in per_recipe:
+            continue
+        pp, gen = recipe_params_gen(name)
+        if name == "bf16":
+            per_recipe[name] = score(pp, gen, name)
+        else:
+            # run the REAL fused serving kernels: interpret mode stands in
+            # for Mosaic on CPU (same arithmetic, interpreted)
+            from vlm_bridge_tpu.ops import decode_kernels
+
+            old = decode_kernels.INTERPRET
+            decode_kernels.INTERPRET = True
+            try:
+                per_recipe[name] = score(pp, gen, name)
+            finally:
+                decode_kernels.INTERPRET = old
+
+    head = per_recipe[recipes[0]]
     return {
-        "captions": results,
-        "exact_matches": sum(r["exact"] for r in results),
-        "total": K,
+        **head,  # captions/exact_matches/total/metrics of the FIRST recipe
         "best_val_loss": meta.get("val_loss"),
         "final_train_loss": history["history"][-1]["train_loss"]
         if isinstance(history, dict) and history.get("history")
         else None,
-        "metrics": eval_out["metrics"],
+        "recipes": per_recipe,
+        "model_preset": tc.model_preset,
     }
 
 
@@ -178,6 +242,10 @@ def main(argv=None) -> int:
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--recipes", default="bf16",
+                    help="comma list of decode recipes to score on the same "
+                         "trained checkpoint: bf16,int8,int4 (quantized "
+                         "recipes run the fused serving kernels)")
     ap.add_argument("--output", default=None, help="write the JSON record here")
     args = ap.parse_args(argv)
 
@@ -185,7 +253,8 @@ def main(argv=None) -> int:
 
     apply_platform(args)
     workdir = args.workdir or tempfile.mkdtemp(prefix="vlm-memorize.")
-    record = run_proof(workdir, num_epochs=args.epochs)
+    record = run_proof(workdir, num_epochs=args.epochs,
+                       recipes=tuple(args.recipes.split(",")))
     import jax
 
     record["backend"] = jax.default_backend()
