@@ -199,3 +199,50 @@ def test_vlm_eval_mlp_int4_guards(tmp_path):
         main(base)  # no --kv-int8
     with pytest.raises(SystemExit, match="Pallas"):
         main(base + ["--kv-int8", "--quantize", "embedding,mlp,attn"])
+
+
+def test_prestack_decode_params_serves_and_gates(monkeypatch):
+    """tools/loading.prestack_decode_params: stacks exactly when the fused
+    path would dispatch (r5 eval_e2e regression: per-call stacking +
+    memory-gate flicker measured 0.66 captions/s vs ~160 pre-stacked)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlm_bridge_tpu.configs import VLMConfig
+    from vlm_bridge_tpu.inference.generate import (
+        GenerationConfig, generate_tokens)
+    from vlm_bridge_tpu.models import bridge, full_model, gemma2
+    from vlm_bridge_tpu.ops import decode_kernels
+    from vlm_bridge_tpu.tools.loading import prestack_decode_params
+
+    base = VLMConfig.tiny_test()
+    cfg = dataclasses.replace(
+        base, lm=dataclasses.replace(base.lm, sliding_window=128))
+    params = full_model.init(jax.random.key(3), cfg, frozen_dtype=jnp.float32)
+    params["lm"] = gemma2.quantize_params(params["lm"])
+    params["bridge"] = bridge.quantize_decode_params(params["bridge"])
+    gen = GenerationConfig(max_length=5, greedy=True, kv_quant=True)
+
+    # without the Pallas/interpret path available: no-op
+    out = prestack_decode_params(params, cfg, gen)
+    assert "stacked_decode" not in out["lm"]
+
+    monkeypatch.setattr(decode_kernels, "INTERPRET", True)
+    # exact / non-kv_quant configs: no-op (the fused path cannot dispatch)
+    assert "stacked_decode" not in prestack_decode_params(
+        params, cfg, GenerationConfig(max_length=5, greedy=True))["lm"]
+
+    vision = full_model.encode_image(params, cfg, jnp.zeros(
+        (2, cfg.image_size, cfg.image_size, 3), jnp.float32))
+    want, _ = generate_tokens(params, cfg, vision_features=vision, gen=gen,
+                              activation_dtype=jnp.float32)
+
+    stacked = prestack_decode_params(params, cfg, gen)
+    assert "stacked_decode" in stacked["lm"]
+    assert "layers" not in stacked["lm"]
+    got, _ = generate_tokens(stacked, cfg, vision_features=vision, gen=gen,
+                             activation_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

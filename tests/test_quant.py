@@ -608,3 +608,27 @@ def test_generate_greedy_embedding4_runs():
     toks, lengths = generate_tokens(params, cfg, pixel_values=pixels,
                                     gen=gen)
     assert toks.shape == (2, 7) and np.asarray(lengths).shape == (2,)
+
+
+def test_unpack_int4_emits_no_int8_vector_ops():
+    """v5e Mosaic legalizes NEITHER comparisons (arith.cmpi) NOR shifts
+    (arith.shli/shrsi) on vector<...xi8> — all three refusals were captured
+    live from the remote compiler in round 5, and interpret mode accepts
+    them silently, so only this jaxpr-level guard can catch a regression
+    off-chip: every shift/compare inside unpack_int4 must operate on a
+    widened (>= 32-bit) dtype."""
+    import jax
+
+    packed = jnp.zeros((8, 128), jnp.int8)
+    jaxpr = jax.make_jaxpr(quant.unpack_int4)(packed)
+    banned = {"shift_left", "shift_right_arithmetic", "shift_right_logical",
+              "ge", "gt", "le", "lt", "eq", "ne", "select_n"}
+    for eqn in jaxpr.jaxpr.eqns:
+        if eqn.primitive.name not in banned:
+            continue
+        for v in eqn.invars:
+            dt = getattr(getattr(v, "aval", None), "dtype", None)
+            assert dt is None or jnp.dtype(dt).itemsize >= 4, (
+                f"{eqn.primitive.name} on {dt} inside unpack_int4 — "
+                f"sub-32-bit vector shifts/compares do not compile on "
+                f"v5e Mosaic (see unpack_int4 docstring)")

@@ -111,9 +111,17 @@ def main(argv=None) -> int:
     cfg, params, tokenizer = load_from_args(args)
     mesh, params = mesh_from_args(args, params)
 
+    # with a quantized LM the int8-KV fused whole-stack decode is the
+    # serving recipe (bench.py's measured configuration); kv_quant is
+    # quality-neutral at caption lengths (DESIGN.md §2)
+    kv_quant = bool(args.quantize)
     gen = GenerationConfig(
         max_length=args.max_length, greedy=args.greedy,
-        temperature=args.temperature, top_p=args.top_p, early_stop=True)
+        temperature=args.temperature, top_p=args.top_p, early_stop=True,
+        kv_quant=kv_quant)
+    from vlm_bridge_tpu.tools.loading import prestack_decode_params
+
+    params = prestack_decode_params(params, cfg, gen, mesh=mesh)
     t0 = time.time()
     batch_size = args.batch_size if mesh else min(args.batch_size, len(paths))
     results = caption_images(

@@ -793,16 +793,16 @@ def is_quantized_int4(w) -> bool:
 def unpack_int4(packed: jax.Array):
     """int8 [K/2, ...] -> (lo, hi) int8 nibbles, sign-extended.
 
-    Pure shifts: `(w << 4) >> 4` sign-extends the low nibble (the left
-    shift wraps mod 2^8, the right shift is arithmetic on int8) and
-    `w >> 4` the high one. The earlier where(lo >= 8, lo - 16, lo) select
-    could not compile ON CHIP: v5e Mosaic rejects vector int8 comparisons
-    ("Target does not support this comparison" on `arith.cmpi` over
-    vector<...xi8>, observed in the r5 capture) even though interpret mode
-    accepted them — shifts are plain VPU elementwise ops on both.
+    Widen to int32 FIRST: v5e Mosaic legalizes neither comparisons
+    (`arith.cmpi`) nor shifts (`arith.shli`/`shrsi`) on vector<...xi8> —
+    all three refusals were captured live from the remote compiler in the
+    r5 round (interpret mode accepts them, which is why only on-chip
+    compiles caught it). Sign-extension is then two i32 shifts per nibble:
+    `(w << 28) >> 28` for the low one, `(w << 24) >> 28` for the high.
     """
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4).astype(jnp.int8)
-    hi = jnp.right_shift(packed, 4).astype(jnp.int8)  # arithmetic on int8
+    w = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(jnp.left_shift(w, 24), 28).astype(jnp.int8)
     return lo, hi
 
 
@@ -899,10 +899,15 @@ def int4_mlp(x: jax.Array, gate_q: dict, up_q: dict, down_q: dict,
         kernel = functools.partial(_int4_mlp_group_kernel, n_inner=nF,
                                    group=group)
         # gate/up scales: [H/g, F] — every H-group, this j's F columns.
-        # down scales: [F/g, H] — this j's block_f/g F-groups, all H.
+        # down scales: [F/g, H] — this j's block_f/g F-groups, all H. A 2-d
+        # (block_f/g, H) block would violate Mosaic's tiling rule (second-
+        # minor must be 8-divisible or FULL — block_f/g is 4 at the 2B
+        # dims, caught on chip in r5), so the groups-per-block axis becomes
+        # its own full-sized dim of a 3-d layout instead.
         gs_spec = pl.BlockSpec((H // group, block_f), lambda j: (0, j))
-        ds_spec = pl.BlockSpec((block_f // group, H), lambda j: (j, 0))
-        gs, us, ds = g_s, u_s, d_s
+        ds_spec = pl.BlockSpec((1, block_f // group, H), lambda j: (j, 0, 0))
+        gs, us = g_s, u_s
+        ds = d_s.reshape(nF, block_f // group, H)
 
     out = pl.pallas_call(
         kernel,
@@ -1042,11 +1047,11 @@ def _int4_mlp_group_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, d_ref,
         sl = slice(i * group, (i + 1) * group)
         acc[:] += jax.lax.dot_general(
             h[:, sl], d_lo[sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * ds_ref[i][None, :]
+            preferred_element_type=jnp.float32) * ds_ref[0, i][None, :]
         acc[:] += jax.lax.dot_general(
             h[:, F2 + i * group:F2 + (i + 1) * group], d_hi[sl],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * ds_ref[nGd + i][None, :]
+            preferred_element_type=jnp.float32) * ds_ref[0, nGd + i][None, :]
 
     @pl.when(j == n_inner - 1)
     def _finish():

@@ -122,3 +122,45 @@ def mesh_from_args(args, params):
 
     mesh = auto_mesh(data=data, model=model)
     return mesh, shard_params(mesh, params)
+
+
+def prestack_decode_params(params, cfg, gen, mesh=None):
+    """Stack the int8 decode weights ONCE for serving.
+
+    A serving deployment stacks at load time, not per batch: in-jit
+    stacking copies every layer's weights on each generate call, and the
+    per-call HBM memory gate (generate._fused_decode_available) can flicker
+    use_fused between calls — each flip is a fresh XLA compile. The r5
+    eval_e2e capture measured the cost: 0.66 captions/s end-to-end vs ~160
+    with pre-stacked weights at the same batch. No-op unless the fused
+    whole-stack path would actually dispatch for this gen config.
+
+    NOTE: stacking frees the input tree's per-layer weights in place
+    (stack_decode_params free_layers — peak HBM = int8 model + one stacked
+    field, the 9B-on-16GB conversion recipe); serve from the RETURNED
+    params only.
+    """
+    import os
+
+    from vlm_bridge_tpu.models import gemma2
+    from vlm_bridge_tpu.ops import decode_kernels
+    from vlm_bridge_tpu.ops.attention import _use_pallas
+
+    if "stacked_decode" in params["lm"] or "layers" not in params["lm"]:
+        return params
+    model_ax = 1 if mesh is None else dict(
+        zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    if (gen.exact or not gen.kv_quant or model_ax > 1 or gen.force_jnp
+            or os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP")
+            or not (_use_pallas() or decode_kernels.INTERPRET)
+            or not gemma2.supports_fused_decode(
+                params["lm"], cfg.lm, gen.max_length + 1)):
+        return params
+    params = dict(params)
+    lm = dict(params["lm"])
+    lm["stacked_decode"] = gemma2.stack_decode_params(
+        lm, cfg.lm, mlp_int4=gen.mlp_int4,
+        mlp_int4_group=gen.mlp_int4_group, free_layers=True)
+    del lm["layers"]
+    params["lm"] = lm
+    return params
