@@ -52,11 +52,13 @@ def single(args) -> dict:
     cfg9 = VLMConfig.gemma2_9b()
     cfg = dataclasses.replace(
         cfg9, lm=dataclasses.replace(cfg9.lm, num_layers=n))
-    row = {"layers": n, "batch": args.batch, "len": args.len}
+    row = {"layers": n, "batch": args.batch, "len": args.len,
+           "mlp_int4": args.mlp_int4}
     t0 = time.time()
     try:
         params = bench._stream_quantized_params(
-            cfg, "embedding,mlp,attn,bridge", max_length=args.len)
+            cfg, args.quantize, max_length=args.len,
+            mlp_int4=args.mlp_int4)
         if "stacked_decode" not in params["lm"]:
             raise RuntimeError("stream init did not stack — fused "
                                "preconditions unmet at this config")
@@ -115,6 +117,12 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--len", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--quantize", default="embedding,mlp,attn,bridge",
+                    help="weight groups for the streamed build "
+                         "(embedding4 packs the head table to int4 rows)")
+    ap.add_argument("--mlp-int4", action="store_true",
+                    help="nibble-packed int4 MLP in the stacked build — "
+                         "bisect the int4 9B OOM (HBM vs VMEM attribution)")
     ap.add_argument("--single", type=int, default=None,
                     help="internal: run one layer count in-process")
     ap.add_argument("--step-timeout", type=float, default=2100.0,
@@ -138,7 +146,9 @@ def main():
     for n in [int(x) for x in args.layers.split(",")]:
         cmd = [sys.executable, os.path.abspath(__file__),
                "--single", str(n), "--batch", str(args.batch),
-               "--len", str(args.len), "--reps", str(args.reps)]
+               "--len", str(args.len), "--reps", str(args.reps),
+               "--quantize", args.quantize] \
+            + (["--mlp-int4"] if args.mlp_int4 else [])
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=args.step_timeout, cwd=REPO,
