@@ -347,6 +347,34 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
             pass  # axon may not expose memory_stats; purely diagnostic
 
     log_mem("after params build")
+    settle_gb = float(os.environ.get("VLM_BRIDGE_ALLOC_SETTLE", "0") or 0)
+    if settle_gb > 0:
+        # The 9B stream-init frees ~8 GB of per-layer intermediates, but the
+        # axon server releases buffers asynchronously — a decode program
+        # dispatched immediately after can transiently find HBM full even
+        # though the steady-state footprint fits (observed: 42-layer fused
+        # decode with an 8.2 GB computed peak OOM'd on a chip that held
+        # >10 GB during init; 26 layers, ~3 GB more slack, ran). Prove the
+        # headroom exists before the real dispatch: allocate a canary the
+        # size of the program's temps, fence it, free it — retrying while
+        # the server catches up. memory_stats() is all zeros through the
+        # tunnel, so an allocation is the only probe there is.
+        import gc
+
+        for attempt in range(6):
+            try:
+                canary = jnp.zeros((int(settle_gb * 1e9),), jnp.int8)
+                jax.block_until_ready(canary)
+                del canary
+                gc.collect()
+                print(f"[bench] alloc-settle: {settle_gb:.1f} GB canary ok "
+                      f"(attempt {attempt})", file=sys.stderr)
+                break
+            except Exception as exc:  # noqa: BLE001 — retry is the point
+                print(f"[bench] alloc-settle: canary failed "
+                      f"({type(exc).__name__}: {str(exc)[:120]}) — "
+                      f"sleeping 20 s", file=sys.stderr)
+                time.sleep(20)
     # a FORCE_JNP child (fresh-process fallback) never attempts the fused
     # path at all — the artifact must still say the number is the jnp path
     fused_fallback = bool(os.environ.get("VLM_BRIDGE_DEBUG_FORCE_JNP"))
