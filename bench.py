@@ -208,7 +208,7 @@ def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False,
     from vlm_bridge_tpu.models import full_model, gemma2
 
     parts = tuple(quantize.split(",")) if quantize else ()
-    lm_parts = tuple(p for p in parts if p != "bridge")
+    lm_parts = tuple(p for p in parts if p not in ("bridge", "vision"))
     unknown = set(lm_parts) - {"embedding", "embedding4", "mlp", "attn"}
     if unknown:  # same contract as gemma2.quantize_params
         raise ValueError(f"unknown quantize parts: {sorted(unknown)}")
@@ -223,6 +223,10 @@ def _stream_quantized_params(cfg, quantize, max_length=None, force_jnp=False,
         lambda k: full_model.init(cfg=cfg, rng=k), jax.random.key(0))
 
     vision = put_filled(shapes["vision"])
+    if "vision" in parts:
+        from vlm_bridge_tpu.models import dinov2 as dinov2_mod
+
+        vision = dinov2_mod.quantize_vision_params(vision)
     bridge_p = put_filled(shapes["bridge"])
     if "bridge" in parts:
         bridge_p = bridge_mod.quantize_decode_params(bridge_p)
@@ -282,7 +286,7 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
     def quantize_tree(params):
         if quantize:
             parts = quantize.split(",")
-            lm_parts = tuple(p for p in parts if p != "bridge")
+            lm_parts = tuple(p for p in parts if p not in ("bridge", "vision"))
             if lm_parts:
                 from vlm_bridge_tpu.models import gemma2
 
@@ -293,6 +297,11 @@ def bench_decode(cfg, batch_size, max_length, reps=3, quantize=None,
 
                 params["bridge"] = bridge.quantize_decode_params(
                     params["bridge"])
+            if "vision" in parts:
+                from vlm_bridge_tpu.models import dinov2
+
+                params["vision"] = dinov2.quantize_vision_params(
+                    params["vision"])
         return params
 
     def build_params(prestack, force_jnp=False):
@@ -485,10 +494,11 @@ def main():
                          "A/B lever (gemma2.stack_layers_for_scan)")
     ap.add_argument("--quantize", default="embedding,mlp,attn,bridge",
                     help="int8-quantize weight groups for the decode "
-                         "bench: comma list of embedding,mlp,attn,bridge; "
-                         "'' for bf16 decode. 'embedding4' instead of "
-                         "'embedding' packs the greedy-head table to int4 "
-                         "rows (halves its per-token stream again)")
+                         "bench: comma list of embedding,mlp,attn,bridge,"
+                         "vision; '' for bf16 decode. 'embedding4' instead "
+                         "of 'embedding' packs the greedy-head table to int4 "
+                         "rows (halves its per-token stream again); 'vision' "
+                         "halves the encoder tower (9B capacity lever)")
     ap.add_argument("--bypass-bridge", action="store_true",
                     help="diagnostic: decode without the bridge to measure "
                          "its share of the step time")

@@ -47,7 +47,7 @@ def build_avals(cfg, quantize: str, mlp_int4: bool):
     from vlm_bridge_tpu.models import full_model, gemma2
 
     parts = tuple(quantize.split(",")) if quantize else ()
-    lm_parts = tuple(p for p in parts if p != "bridge")
+    lm_parts = tuple(p for p in parts if p not in ("bridge", "vision"))
 
     def f(k):
         p = full_model.init(cfg=cfg, rng=k)
@@ -61,7 +61,12 @@ def build_avals(cfg, quantize: str, mlp_int4: bool):
         del lm["layers"]
         bridge_p = (bridge_mod.quantize_decode_params(p["bridge"])
                     if "bridge" in parts else p["bridge"])
-        return {"vision": p["vision"], "lm": lm, "bridge": bridge_p}
+        vision_p = p["vision"]
+        if "vision" in parts:
+            from vlm_bridge_tpu.models import dinov2 as dinov2_mod
+
+            vision_p = dinov2_mod.quantize_vision_params(vision_p)
+        return {"vision": vision_p, "lm": lm, "bridge": bridge_p}
 
     return jax.eval_shape(f, jax.random.key(0))
 

@@ -136,3 +136,32 @@ def test_family_presets():
     assert DinoV2Config.giant().use_swiglu_ffn
     # HF dinov2-giant: mlp_ratio 4 * 1536 -> swiglu hidden 4096
     assert DinoV2Config.giant().swiglu_hidden == 4096
+
+
+def test_int8_vision_quantization():
+    """quantize_vision_params: int8 tower halves the transformer-weight bytes
+    and stays numerically close to the float forward (the 9B capacity lever —
+    DESIGN.md §3; per-channel symmetric int8 on qkv/o/fc1/fc2 only)."""
+    import dataclasses
+    import jax
+
+    cfg = dataclasses.replace(
+        DinoV2Config.large(), num_layers=2, hidden_size=64, num_heads=4)
+    params = dinov2.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    qparams = dinov2.quantize_vision_params(params)
+
+    # int8 where promised, untouched elsewhere
+    l0 = qparams["layers"]["0"]
+    assert l0["attn"]["qkv"]["w_int8"].dtype == jnp.int8
+    assert l0["mlp"]["fc1"]["w_int8"].dtype == jnp.int8
+    assert l0["norm1"]["scale"].dtype == params["layers"]["0"]["norm1"]["scale"].dtype
+    assert qparams["patch_embed"]["kernel"].dtype == params["patch_embed"]["kernel"].dtype
+    # the original tree is not mutated
+    assert not isinstance(params["layers"]["0"]["attn"]["qkv"], dict)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 224, 224, 3)), jnp.float32)
+    ref = np.asarray(dinov2.forward(params, cfg, x))
+    out = np.asarray(dinov2.forward(qparams, cfg, x))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, f"int8 vision tower rel err {rel:.4f}"

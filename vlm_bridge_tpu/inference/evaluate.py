@@ -79,6 +79,19 @@ def evaluate_split(
     # every host-side decode_captions pass (verdict r3 weak #6).
     pending = None  # (real, captions, toks_dev, lens_dev)
 
+    if verbose:
+        # surface the decode-path dispatch decisions (fused vs jnp, memory
+        # gate) — INFO-level and invisible by default, which made the r5
+        # eval_e2e capture undiagnosable after the fact
+        import logging
+
+        _gen_log = logging.getLogger("vlm_bridge_tpu.inference.generate")
+        _gen_log.setLevel(logging.INFO)
+        if not _gen_log.handlers:  # the default lastResort handler drops INFO
+            _gen_log.addHandler(logging.StreamHandler())
+
+    t_last = [None]
+
     def _drain(entry):
         nonlocal n_done
         real, caps, toks_dev, lens_dev = entry
@@ -87,8 +100,11 @@ def evaluate_split(
         candidates.extend(texts)
         refs.extend([[c] for c in caps[:real]])
         n_done += real
-        if verbose and (n_done // batch_size) % 10 == 0:
-            print(f"  evaluated {n_done}/{len(ds)}", flush=True)
+        now = time.time()
+        if verbose:
+            dt = f" (+{now - t_last[0]:.2f}s)" if t_last[0] else ""
+            print(f"  evaluated {n_done}/{len(ds)}{dt}", flush=True)
+        t_last[0] = now
 
     t_start = time.time()
     t_steady0 = None  # wall clock after batch-0's fence (jit compile done)

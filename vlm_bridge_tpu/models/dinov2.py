@@ -91,6 +91,42 @@ def init(rng: jax.Array, cfg: DinoV2Config, dtype=jnp.bfloat16) -> dict:
     }
 
 
+def quantize_vision_params(params: dict) -> dict:
+    """Int8 weight-only quantization of the encoder's transformer matmuls
+    (serving-time transformation, like gemma2.quantize_params /
+    bridge.quantize_decode_params — `--quantize vision,...`).
+
+    Quantizes the per-layer qkv / o / fc1 / fc2 (or SwiGLU win / wout)
+    projections to symmetric per-output-channel int8 dicts; ops.layers.linear
+    dispatches them transparently (and _proj's XLA/Pallas bf16 route is
+    dict-aware, so the dispatch stays correct). The patch-embed kernel
+    (0.6M params, C=3 — terrible int8 shape), position/CLS embeddings,
+    LayerNorms, LayerScales, and biases stay in the float dtype.
+
+    Why it exists: capacity. The bf16 DINOv2-large tower is 0.61 GB of the
+    9B serving footprint; int8 halves it, and at 9B the fused decode sits
+    within ~0.4 GB of the chip's working line (perf/fused_mem_analysis.jsonl).
+    Quality bound at random init: see tests/test_dinov2_parity.py."""
+    from vlm_bridge_tpu.ops.quant import quantize_int8
+
+    out = {k: v for k, v in params.items() if k != "layers"}
+    layers = {}
+    for name, lp in params["layers"].items():
+        lp = {k: v for k, v in lp.items()}
+        attn = dict(lp["attn"])
+        attn["qkv"] = quantize_int8(attn["qkv"], axis=0)
+        attn["o"] = quantize_int8(attn["o"], axis=0)
+        lp["attn"] = attn
+        mlp = dict(lp["mlp"])
+        for w in ("fc1", "fc2", "win", "wout"):
+            if w in mlp:
+                mlp[w] = quantize_int8(mlp[w], axis=0)
+        lp["mlp"] = mlp
+        layers[name] = lp
+    out["layers"] = layers
+    return out
+
+
 def interpolate_pos_embed(pos_embed: jax.Array, cfg: DinoV2Config, grid: int) -> jax.Array:
     """Bicubic interpolation of patch position embeddings to a new grid size.
 

@@ -92,7 +92,7 @@ def load_from_args(args):
         args._ckpt_meta = meta
     if getattr(args, "quantize", None):
         parts = args.quantize.split(",")
-        lm_parts = tuple(p for p in parts if p != "bridge")
+        lm_parts = tuple(p for p in parts if p not in ("bridge", "vision"))
         if lm_parts:
             from vlm_bridge_tpu.models import gemma2
 
@@ -101,6 +101,10 @@ def load_from_args(args):
             from vlm_bridge_tpu.models import bridge
 
             params["bridge"] = bridge.quantize_decode_params(params["bridge"])
+        if "vision" in parts:
+            from vlm_bridge_tpu.models import dinov2
+
+            params["vision"] = dinov2.quantize_vision_params(params["vision"])
 
     return cfg, params, get_tokenizer(args.tokenizer_path)
 
